@@ -1,0 +1,381 @@
+"""Committed plan: twiddle precompute + jit-specialized executors.
+
+The JAX analogue of the reference's ``committed_descriptor`` /
+``committed_descriptor_impl`` pair (committed_descriptor.hpp:58-310,
+committed_descriptor_impl.hpp:84-1111).  Commit = plan every dimension
+(planner.py), precompute all twiddle/DFT-matrix device arrays (the analogue
+of the commit-time twiddle kernels, committed_descriptor_impl.hpp:737-752),
+and build jit-compiled compute callables (the analogue of the spec-constant
+JIT builds, :522).
+
+Layout handling: the reference threads strides through device-side memory
+views (common/memory_views.hpp); here arbitrary strides/distances/offsets are
+canonicalized by a gather prologue and scatter epilogue around a packed
+(batch, *lengths) core — PACKED and BATCH_INTERLEAVED layouts lower to pure
+reshapes/transposes (free or near-free in XLA), only UNPACKED pays a gather.
+
+The reference's 20 ``compute_forward/backward`` overloads (buffer/USM ×
+in/out-of-place × interleaved/split) collapse to two methods with optional
+split-imaginary and ``out=`` arguments; in-place donates the input buffer to
+the compiled computation so XLA reuses its memory on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import resolve_device_config
+from .enums import ComplexStorage, Direction, Layout, Level, Placement
+from .exceptions import InvalidConfiguration, UnsupportedConfiguration
+from .ops import xla_fft
+from .planner import plan_1d
+from .utils.layout import get_layout
+
+from .enums import inv as _inv
+
+_SIGN = {Direction.FORWARD: -1, Direction.BACKWARD: +1}
+
+
+class CommittedDescriptor:
+    """A planned, compiled FFT ready for repeated execution."""
+
+    def __init__(self, descriptor, device=None, use_pallas: Optional[bool] = None):
+        self.descriptor = descriptor
+        self.config = resolve_device_config(device)
+        self.precision = np.dtype(descriptor.precision)
+        itemsize = self.precision.itemsize
+
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+
+        # fp64 requires a device with native double support (the reference
+        # gates on the fp64 aspect, fft_test_utils.hpp:441-448); TPUs have
+        # none, and jax only carries float64 with x64 mode enabled.
+        if self.precision == np.float64:
+            if jax.default_backend() == "tpu":
+                raise UnsupportedConfiguration(
+                    "fp64 transforms are not supported on TPU devices"
+                )
+            if not jax.config.jax_enable_x64:
+                raise UnsupportedConfiguration(
+                    "fp64 transforms require jax_enable_x64"
+                )
+
+        # One plan per distinct dimension length (reference plans per
+        # dimension, committed_descriptor_impl.hpp:734-753).
+        self.plans = {
+            n: plan_1d(n, self.config, itemsize)
+            for n in set(descriptor.lengths)
+        }
+
+        # Precompute every constant array for both directions (the reference
+        # also builds forward and backward variants eagerly,
+        # committed_descriptor_impl.hpp:448-532).
+        self._bank = xla_fft.TwiddleBank(self.precision)
+        self._bank_keys: dict = {}
+        for sign in (-1, +1):
+            for plan in self.plans.values():
+                xla_fft.collect_bank_keys(plan, sign, self._bank, self._bank_keys)
+        self._bank_arrays = self._bank.device_arrays(device)
+
+        self._compiled: dict = {}
+
+    # ------------------------------------------------------------------
+    # Public API (reference committed_descriptor.hpp:58-310)
+    # ------------------------------------------------------------------
+
+    def compute_forward(self, x, x_imag=None, *, out=None, out_imag=None):
+        """Forward transform.  INTERLEAVED storage: pass one complex (or
+        raw interleaved float) buffer.  SPLIT storage: pass the real and
+        imaginary buffers.  ``out`` (and ``out_imag`` for split) scatter the
+        result into an existing buffer, preserving unwritten elements."""
+        return self._compute(Direction.FORWARD, x, x_imag, out, out_imag)
+
+    def compute_backward(self, x, x_imag=None, *, out=None, out_imag=None):
+        """Backward (inverse, unnormalized ×backward_scale) transform."""
+        return self._compute(Direction.BACKWARD, x, x_imag, out, out_imag)
+
+    def plan_description(self) -> dict:
+        """Human-readable plan summary (one entry per dimension length)."""
+        return {n: p.describe() for n, p in self.plans.items()}
+
+    # ------------------------------------------------------------------
+    # Layout canonicalization
+    # ------------------------------------------------------------------
+
+    def _indices(self, direction: Direction) -> np.ndarray:
+        """(batch, *lengths) element indices into the flat domain buffer."""
+        d = self.descriptor
+        strides = d.get_strides(direction)
+        distance = d.get_distance(direction)
+        offset = d.get_offset(direction)
+        batch = d.number_of_transforms
+        idx = offset + distance * np.arange(batch).reshape(
+            (batch,) + (1,) * len(d.lengths)
+        )
+        for axis, (length, stride) in enumerate(zip(d.lengths, strides)):
+            shape = [1] * (len(d.lengths) + 1)
+            shape[axis + 1] = length
+            idx = idx + stride * np.arange(length).reshape(shape)
+        return idx
+
+    def _gather(self, flat, direction: Direction):
+        """flat (count,) complex/real -> (batch, *lengths) canonical."""
+        d = self.descriptor
+        layout = get_layout(d, direction)
+        batch = d.number_of_transforms
+        n = d.get_flattened_length()
+        offset = d.get_offset(direction)
+        if layout == Layout.PACKED:
+            block = jax.lax.dynamic_slice_in_dim(flat, offset, batch * n)
+            return block.reshape(batch, *d.lengths)
+        if layout == Layout.BATCH_INTERLEAVED:
+            block = jax.lax.dynamic_slice_in_dim(flat, offset, batch * n)
+            return block.reshape(n, batch).T.reshape(batch, *d.lengths)
+        idx = jnp.asarray(self._indices(direction))
+        return jnp.take(flat, idx, axis=0)
+
+    def _scatter(self, result, flat_out, direction: Direction):
+        """(batch, *lengths) -> flat output buffer (updating flat_out)."""
+        d = self.descriptor
+        layout = get_layout(d, direction)
+        batch = d.number_of_transforms
+        n = d.get_flattened_length()
+        offset = d.get_offset(direction)
+        if layout == Layout.PACKED:
+            return jax.lax.dynamic_update_slice_in_dim(
+                flat_out, result.reshape(batch * n), offset, axis=0
+            )
+        if layout == Layout.BATCH_INTERLEAVED:
+            block = result.reshape(batch, n).T.reshape(batch * n)
+            return jax.lax.dynamic_update_slice_in_dim(
+                flat_out, block, offset, axis=0
+            )
+        idx = jnp.asarray(self._indices(direction))
+        return flat_out.at[idx].set(result)
+
+    # ------------------------------------------------------------------
+    # Core traced computation
+    # ------------------------------------------------------------------
+
+    def _leaf_fn(self, direction: Direction):
+        if not self.use_pallas:
+            return None
+        from .ops import pallas_fft
+
+        return functools.partial(
+            pallas_fft.leaf_dispatch,
+            bank_keys=self._bank_keys,
+            config=self.config,
+        )
+
+    def _core(self, xr, xi, direction: Direction, bank):
+        """(batch, *lengths) re/im -> transformed re/im, scale applied.
+
+        Multi-dimensional dispatch: separable per-axis transforms, last
+        (contiguous) axis first (reference dispatch_dimensions,
+        committed_descriptor_impl.hpp:899-950).
+        """
+        d = self.descriptor
+        sign = _SIGN[direction]
+        leaf = self._leaf_fn(direction)
+        ndims = len(d.lengths)
+        for axis in range(ndims - 1, -1, -1):
+            n = d.lengths[axis]
+            if n == 1:
+                continue
+            plan = self.plans[n]
+            if axis != ndims - 1:
+                xr = jnp.moveaxis(xr, 1 + axis, -1)
+                xi = jnp.moveaxis(xi, 1 + axis, -1)
+            xr, xi = xla_fft.exec_plan(
+                xr, xi, plan, sign, self._bank_keys, bank, leaf
+            )
+            if axis != ndims - 1:
+                xr = jnp.moveaxis(xr, -1, 1 + axis)
+                xi = jnp.moveaxis(xi, -1, 1 + axis)
+        scale = d.get_scale(direction)
+        if scale != 1.0:
+            s = np.array(scale, dtype=self.precision)
+            xr = xr * s
+            xi = xi * s
+        return xr, xi
+
+    # ------------------------------------------------------------------
+    # Compiled entry points
+    # ------------------------------------------------------------------
+
+    def _traced_interleaved(self, direction: Direction):
+        """Interleaved storage, raw-scalar device buffers.
+
+        The device-side representation of an interleaved complex buffer is a
+        flat float array of 2·count scalars — exactly the reference's
+        ``Scalar*`` view (committed_descriptor_impl.hpp:1103-1110).  Complex
+        dtypes never cross the device boundary (some TPU runtimes reject
+        them); complex numpy inputs are reinterpreted host-side (zero-copy).
+        """
+
+        def fn(raw_in, raw_out, bank):
+            pairs = raw_in.reshape(-1, 2)
+            xr = self._gather(pairs[:, 0], direction)
+            xi = self._gather(pairs[:, 1], direction)
+            yr, yi = self._core(xr, xi, direction, bank)
+            # Output lives in the opposite domain's layout (enums.hpp:39).
+            out_dir = _inv(direction)
+            out_pairs = raw_out.reshape(-1, 2)
+            o_re = self._scatter(yr, out_pairs[:, 0], out_dir)
+            o_im = self._scatter(yi, out_pairs[:, 1], out_dir)
+            return jnp.stack([o_re, o_im], axis=-1).reshape(-1)
+
+        return fn
+
+    def _traced_split(self, direction: Direction):
+        def fn(flat_re, flat_im, out_re, out_im, bank):
+            xr = self._gather(flat_re, direction)
+            xi = self._gather(flat_im, direction)
+            yr, yi = self._core(xr, xi, direction, bank)
+            out_dir = _inv(direction)
+            return (
+                self._scatter(yr, out_re, out_dir),
+                self._scatter(yi, out_im, out_dir),
+            )
+
+        return fn
+
+    def _get_compiled(self, key, builder, donate):
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(builder(), donate_argnums=donate)
+        return self._compiled[key]
+
+    def _compute(self, direction, x, x_imag, out, out_imag):
+        d = self.descriptor
+        in_place = d.placement == Placement.IN_PLACE
+        if in_place and (out is not None or out_imag is not None):
+            raise InvalidConfiguration(
+                "out= must not be given for an IN_PLACE committed descriptor"
+            )
+        if d.complex_storage == ComplexStorage.SPLIT_COMPLEX:
+            if x_imag is None:
+                raise InvalidConfiguration(
+                    "SPLIT_COMPLEX storage requires both real and imaginary "
+                    "buffers"
+                )
+            return self._compute_split(direction, x, x_imag, out, out_imag)
+        if x_imag is not None:
+            raise InvalidConfiguration(
+                "INTERLEAVED_COMPLEX storage takes a single complex buffer"
+            )
+        return self._compute_interleaved(direction, x, out)
+
+    def _complex_dtype(self):
+        return np.dtype(
+            np.complex64 if self.precision == np.float32 else np.complex128
+        )
+
+    def _to_raw(self, x):
+        """Any accepted interleaved buffer -> flat float array of 2·count
+        scalars on device.  Returns (raw, was_complex_numpy, was_complex_jax).
+        """
+        if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+            # Interleaved complex IS adjacent (re, im) scalar pairs: a
+            # host-side dtype view is zero-copy.
+            return (
+                jnp.asarray(np.ascontiguousarray(x).view(self.precision).reshape(-1)),
+                "np_complex",
+            )
+        if isinstance(x, jax.Array) and jnp.iscomplexobj(x):
+            raw = jnp.stack([x.reshape(-1).real, x.reshape(-1).imag], axis=-1)
+            return raw.reshape(-1), "jax_complex"
+        x = jnp.asarray(x)
+        if jnp.iscomplexobj(x):
+            raw = jnp.stack([x.reshape(-1).real, x.reshape(-1).imag], axis=-1)
+            return raw.reshape(-1), "jax_complex"
+        if x.size % 2:
+            raise InvalidConfiguration(
+                "raw interleaved buffer must have an even number of scalars"
+            )
+        return x.reshape(-1), "raw"
+
+    def _from_raw(self, raw, kind):
+        if kind == "np_complex":
+            return np.asarray(raw).view(self._complex_dtype())
+        if kind == "jax_complex":
+            pairs = raw.reshape(-1, 2)
+            return jax.lax.complex(pairs[:, 0], pairs[:, 1])
+        return raw
+
+    def _compute_interleaved(self, direction, x, out):
+        d = self.descriptor
+        flat_in, kind = self._to_raw(x)
+
+        need_in = d.get_input_count(direction)
+        if flat_in.shape[0] < 2 * need_in:
+            raise InvalidConfiguration(
+                f"input buffer has {flat_in.shape[0] // 2} complex elements, "
+                f"needs {need_in}"
+            )
+
+        need_out = d.get_output_count(direction)
+        in_place = d.placement == Placement.IN_PLACE
+        if in_place:
+            flat_out = flat_in
+        elif out is not None:
+            flat_out, _ = self._to_raw(out)
+            if flat_out.shape[0] < 2 * need_out:
+                raise InvalidConfiguration(
+                    f"output buffer has {flat_out.shape[0] // 2} complex "
+                    f"elements, needs {need_out}"
+                )
+        else:
+            flat_out = jnp.zeros(2 * need_out, dtype=self.precision)
+
+        key = ("ileaved", direction, flat_in.shape, flat_out.shape, in_place)
+        donate = (0, 1) if in_place else (1,)
+        fn = self._get_compiled(
+            key,
+            lambda: self._traced_interleaved(direction),
+            donate=donate if jax.default_backend() != "cpu" else (),
+        )
+        result = fn(flat_in, flat_out, self._bank_arrays)
+        return self._from_raw(result, kind)
+
+    def _compute_split(self, direction, x_re, x_im, out, out_imag):
+        d = self.descriptor
+        flat_re = jnp.asarray(x_re).reshape(-1)
+        flat_im = jnp.asarray(x_im).reshape(-1)
+        need_in = d.get_input_count(direction)
+        if flat_re.shape[0] < need_in or flat_im.shape[0] < need_in:
+            raise InvalidConfiguration(
+                f"split input buffers need {need_in} elements"
+            )
+        need_out = d.get_output_count(direction)
+        in_place = d.placement == Placement.IN_PLACE
+        if isinstance(out, tuple) and out_imag is None:
+            out, out_imag = out
+        if in_place:
+            o_re, o_im = flat_re, flat_im
+        elif out is not None:
+            o_re = jnp.asarray(out).reshape(-1)
+            o_im = jnp.asarray(out_imag).reshape(-1)
+            if o_re.shape[0] < need_out or o_im.shape[0] < need_out:
+                raise InvalidConfiguration(
+                    f"split output buffers need {need_out} elements"
+                )
+        else:
+            o_re = jnp.zeros(need_out, dtype=self.precision)
+            o_im = jnp.zeros(need_out, dtype=self.precision)
+
+        key = ("split", direction, flat_re.shape, o_re.shape, in_place)
+        donate = (0, 1, 2, 3) if in_place else (2, 3)
+        fn = self._get_compiled(
+            key, lambda: self._traced_split(direction),
+            donate=donate if jax.default_backend() != "cpu" else (),
+        )
+        return fn(flat_re, flat_im, o_re, o_im, self._bank_arrays)

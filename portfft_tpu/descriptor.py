@@ -1,0 +1,198 @@
+"""FFT problem description — the user-facing entry point.
+
+Semantics-parity port of the reference ``descriptor`` struct
+(/root/reference/src/portfft/descriptor.hpp:44-271): lengths, per-direction
+scales / strides / distances / offsets, number_of_transforms, complex storage
+and placement, plus the buffer-count math (descriptor.hpp:262-270).  The
+C++ ``descriptor<Scalar, Domain>`` template parameters become the
+``precision`` and ``domain`` fields.
+
+``commit()`` validates the problem and returns a :class:`CommittedDescriptor`
+(see committed.py) holding the plan, precomputed twiddle device arrays and
+jitted executors — the JAX analogue of the reference's commit-time JIT build.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .enums import ComplexStorage, Direction, Domain, Placement
+from .utils.layout import default_strides, flattened_length
+
+_PRECISION_ALIASES = {
+    "fp32": np.float32,
+    "fp64": np.float64,
+    "float32": np.float32,
+    "float64": np.float64,
+    "single": np.float32,
+    "double": np.float64,
+}
+
+
+def _canonical_precision(precision) -> np.dtype:
+    if isinstance(precision, str):
+        key = precision.lower()
+        if key not in _PRECISION_ALIASES:
+            raise ValueError(f"Unknown precision {precision!r}")
+        return np.dtype(_PRECISION_ALIASES[key])
+    dt = np.dtype(precision)
+    if dt not in (np.dtype(np.float32), np.dtype(np.float64)):
+        raise ValueError(f"precision must be fp32 or fp64, got {dt}")
+    return dt
+
+
+@dataclasses.dataclass
+class Descriptor:
+    """FFT problem parameters (reference descriptor.hpp:44-129).
+
+    Attributes
+    ----------
+    lengths:
+        Size of each transform dimension, most-significant first (contiguous
+        dimension last).  N-D transforms supported.
+    precision:
+        Scalar type used for computation: ``fp32`` (default) or ``fp64``.
+    domain:
+        ``Domain.COMPLEX`` (C2C).  ``Domain.REAL`` is validated-unsupported,
+        matching the reference (descriptor_validation.hpp:268-270).
+    forward_scale / backward_scale:
+        Scaling factor applied to the output of the respective direction.
+        Note a forward+backward round trip with both scales 1 yields data
+        scaled by the product of the lengths (descriptor.hpp:61-69).
+    number_of_transforms:
+        Batch count per compute call.
+    complex_storage:
+        INTERLEAVED_COMPLEX (AoS / native complex arrays) or SPLIT_COMPLEX
+        (separate re / im buffers).
+    placement:
+        IN_PLACE or OUT_OF_PLACE.  In the functional JAX API, IN_PLACE means
+        the compute functions take a single buffer and donate it to the
+        compiled computation (buffer reuse on device).
+    forward_strides / backward_strides:
+        Element strides per dimension in each domain; element ``[i1..id]`` of
+        batch ``b`` lives at ``offset + distance*b + sum(strides[k]*ik)``
+        (descriptor.hpp:90-105).  Default: packed row-major.
+    forward_distance / backward_distance:
+        Elements between consecutive batches (default: product of lengths).
+    forward_offset / backward_offset:
+        Elements before the first used element of the buffer.
+    """
+
+    lengths: Sequence[int]
+    precision: object = np.float32
+    domain: Domain = Domain.COMPLEX
+    forward_scale: float = 1.0
+    backward_scale: float = 1.0
+    number_of_transforms: int = 1
+    complex_storage: ComplexStorage = ComplexStorage.INTERLEAVED_COMPLEX
+    placement: Placement = Placement.OUT_OF_PLACE
+    forward_strides: Optional[Sequence[int]] = None
+    backward_strides: Optional[Sequence[int]] = None
+    forward_distance: Optional[int] = None
+    backward_distance: Optional[int] = None
+    forward_offset: int = 0
+    backward_offset: int = 0
+
+    def __post_init__(self):
+        self.lengths = [int(x) for x in self.lengths]
+        self.precision = _canonical_precision(self.precision)
+        if self.forward_strides is None:
+            self.forward_strides = default_strides(self.lengths)
+        else:
+            self.forward_strides = [int(s) for s in self.forward_strides]
+        if self.backward_strides is None:
+            self.backward_strides = default_strides(self.lengths)
+        else:
+            self.backward_strides = [int(s) for s in self.backward_strides]
+        total = flattened_length(self.lengths)
+        if self.forward_distance is None:
+            self.forward_distance = total
+        if self.backward_distance is None:
+            self.backward_distance = total
+        self.forward_distance = int(self.forward_distance)
+        self.backward_distance = int(self.backward_distance)
+        self.forward_offset = int(self.forward_offset)
+        self.backward_offset = int(self.backward_offset)
+        self.number_of_transforms = int(self.number_of_transforms)
+
+    # -- accessors (reference descriptor.hpp:190-251) ------------------------
+
+    def get_flattened_length(self) -> int:
+        """Flattened single-batch length, ignoring strides
+        (descriptor.hpp:161-163)."""
+        return flattened_length(self.lengths)
+
+    def get_strides(self, direction: Direction) -> list[int]:
+        return list(
+            self.forward_strides
+            if direction == Direction.FORWARD
+            else self.backward_strides
+        )
+
+    def get_distance(self, direction: Direction) -> int:
+        return (
+            self.forward_distance
+            if direction == Direction.FORWARD
+            else self.backward_distance
+        )
+
+    def get_offset(self, direction: Direction) -> int:
+        return (
+            self.forward_offset
+            if direction == Direction.FORWARD
+            else self.backward_offset
+        )
+
+    def get_scale(self, direction: Direction) -> float:
+        return (
+            self.forward_scale
+            if direction == Direction.FORWARD
+            else self.backward_scale
+        )
+
+    # -- buffer-count math (reference descriptor.hpp:166-270) ---------------
+
+    def _buffer_count(
+        self, strides: Sequence[int], distance: int, offset: int
+    ) -> int:
+        """Number of elements needed for a buffer with these strides
+        (descriptor.hpp:262-270): offset + last accessed index + 1."""
+        last = (self.number_of_transforms - 1) * distance
+        for length, stride in zip(self.lengths, strides):
+            last += (length - 1) * stride
+        return offset + last + 1
+
+    def get_input_count(self, direction: Direction) -> int:
+        """Required element count of the input buffer for ``direction``
+        (descriptor.hpp:172-174).  Counts complex elements."""
+        return self._buffer_count(
+            self.get_strides(direction),
+            self.get_distance(direction),
+            self.get_offset(direction),
+        )
+
+    def get_output_count(self, direction: Direction) -> int:
+        """Required element count of the output buffer for ``direction``
+        (descriptor.hpp:183)."""
+        from .enums import inv
+
+        return self.get_input_count(inv(direction))
+
+    # -- commit --------------------------------------------------------------
+
+    def commit(self, device=None, **options):
+        """Validate and plan the transform; returns a CommittedDescriptor.
+
+        The JAX analogue of reference descriptor.hpp:152-156: validation, then
+        plan construction (factorization + level selection), twiddle
+        precomputation onto ``device``, and jit-specialization of the compute
+        callables.
+        """
+        from .committed import CommittedDescriptor
+        from .validation import validate_descriptor
+
+        validate_descriptor(self)
+        return CommittedDescriptor(dataclasses.replace(self), device=device, **options)

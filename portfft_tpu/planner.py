@@ -1,0 +1,224 @@
+"""Transform planner: factorization and implementation-level selection.
+
+TPU-native analogue of the reference commit engine's
+``prepare_implementation`` (committed_descriptor_impl.hpp:211-313) and the
+factorization helpers (common/workitem.hpp:136-144 ``factorize``,
+common/subgroup.hpp:227-238 ``factorize_sg``, utils.hpp:94-132
+``factorize_input``).  Where the reference sizes levels by registers /
+subgroup width / local memory / LLC, this planner sizes them by the MXU
+contraction width (128), the VMEM capacity, and HBM.
+
+A 1D size decomposes into a chain of factors, each ≤ ``max_factor`` (128):
+every factor pass is one complex matmul against that factor's DFT matrix on
+the MXU — primality of a factor is irrelevant, unlike the reference's
+register-based naive-DFT fallback.  Level selection:
+
+* DIRECT    — n ≤ 128: the whole transform is one DFT matmul.
+* FUSED     — the full factor chain + twiddles + a batch tile fit in VMEM:
+              one Pallas kernel, one HBM read + write per element.
+* GLOBAL    — n = G1·G2 four-step decomposition with FUSED sub-transforms and
+              HBM-level transposes (reference global engine,
+              global_dispatcher.hpp:312-412).
+* BLUESTEIN — n has a prime factor > 128: chirp-z via a padded power-of-two
+              convolution (the reference throws for these sizes,
+              committed_descriptor_impl.hpp:240-241).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+from .config import DeviceConfig
+from .enums import Level
+
+
+def prime_factorize(n: int) -> list[int]:
+    """Trial-division prime factorization, ascending."""
+    out = []
+    d = 2
+    while d * d <= n:
+        while n % d == 0:
+            out.append(d)
+            n //= d
+        d += 1 if d == 2 else 2
+    if n > 1:
+        out.append(n)
+    return out
+
+
+def largest_prime_factor(n: int) -> int:
+    return prime_factorize(n)[-1] if n > 1 else 1
+
+
+def factor_chain(n: int, max_factor: int) -> Optional[list[int]]:
+    """Split ``n`` into factors each ≤ ``max_factor``, greedily largest-first
+    (fills the MXU contraction dimension; fewest passes).
+
+    Returns None when ``n`` has a prime factor exceeding ``max_factor``
+    (→ Bluestein).  Analogue of reference ``factorize_input``
+    (utils.hpp:94-132) with the MXU width as the per-pass capability bound.
+    """
+    if n == 1:
+        return [1]
+    if largest_prime_factor(n) > max_factor:
+        return None
+    chain = []
+    rest = n
+    while rest > 1:
+        f = 0
+        for cand in range(min(rest, max_factor), 1, -1):
+            if rest % cand == 0:
+                f = cand
+                break
+        chain.append(f)
+        rest //= f
+    return chain
+
+
+def stage_shapes(factors: list[int]) -> list[tuple[int, int]]:
+    """Per-stage (f, m) pairs of the Cooley–Tukey chain: stage i contracts
+    factor ``f_i`` over sub-length ``m_i = prod(factors[i+1:])``."""
+    shapes = []
+    m = math.prod(factors)
+    for f in factors:
+        m //= f
+        shapes.append((f, m))
+    return shapes
+
+
+@dataclasses.dataclass
+class Plan1D:
+    """Committed plan for one transform dimension (reference
+    ``dimension_struct``, committed_descriptor_impl.hpp:145-163)."""
+
+    n: int
+    level: Level
+    #: Stockham factor chain (DIRECT/FUSED); empty for GLOBAL/BLUESTEIN.
+    factors: list[int]
+    #: GLOBAL: the two four-step sub-plans (n = sub[0].n * sub[1].n).
+    sub: Optional[tuple["Plan1D", "Plan1D"]] = None
+    #: BLUESTEIN: padded convolution length plan (power of two ≥ 2n-1).
+    conv: Optional["Plan1D"] = None
+    #: Batch rows processed per Pallas grid step at this level.
+    batch_tile: int = 8
+
+    def describe(self) -> str:
+        if self.level == Level.GLOBAL:
+            return (
+                f"global({self.sub[0].describe()} x {self.sub[1].describe()})"
+            )
+        if self.level == Level.BLUESTEIN:
+            return f"bluestein(n={self.n}, conv={self.conv.describe()})"
+        return f"{self.level.value}(n={self.n}, factors={self.factors})"
+
+
+def fused_vmem_bytes(
+    n: int, factors: list[int], batch_tile: int, itemsize: int
+) -> int:
+    """Estimated VMEM working set of the fused kernel.
+
+    Input and output blocks are double-buffered by the Pallas pipeline; two
+    scratch planes hold the ping-pong between factor stages; DFT matrices and
+    inter-factor twiddles are resident once (their grid index is constant).
+    """
+    data = batch_tile * n * itemsize
+    in_out = 2 * (2 * data) * 2  # (re+im) in and out, ×2 double buffering
+    scratch = 2 * (2 * data)  # ping/pong planes
+    tables = sum(2 * f * f * itemsize for f in set(factors))
+    tw = sum(2 * f * m * itemsize for f, m in stage_shapes(factors) if m > 1)
+    return in_out + scratch + tables + tw
+
+
+def _fused_capable(n: int, factors, cfg: DeviceConfig, itemsize: int) -> bool:
+    if factors is None:
+        return False
+    return (
+        fused_vmem_bytes(n, factors, cfg.sublane, itemsize) <= cfg.vmem_budget
+    )
+
+
+def _pick_batch_tile(n, factors, cfg: DeviceConfig, itemsize: int) -> int:
+    """Largest power-of-two batch tile (≥ sublane) that keeps the fused
+    working set within budget."""
+    bt = cfg.batch_tile
+    while bt > cfg.sublane:
+        if fused_vmem_bytes(n, factors, bt, itemsize) <= cfg.vmem_budget:
+            return bt
+        bt //= 2
+    return cfg.sublane
+
+
+def _global_split(n: int, cfg: DeviceConfig, itemsize: int) -> tuple[int, int]:
+    """Balanced four-step split n = G1·G2 with both halves fused-capable.
+
+    Prefers G1 ≥ G2 and G1 near sqrt(n) (minimizes the larger half's VMEM
+    pressure; analogue of the reference's L2-chunked global factorization,
+    committed_descriptor_impl.hpp:271-312).
+    """
+    best = None
+    root = int(math.isqrt(n))
+    for g1 in range(root, 1, -1):
+        if n % g1:
+            continue
+        g2 = n // g1
+        # candidate split (g2 >= g1); both sides must be plannable
+        for a, b in ((g2, g1), (g1, g2)):
+            ca = factor_chain(a, cfg.max_factor)
+            cb = factor_chain(b, cfg.max_factor)
+            ok_a = a <= cfg.direct_threshold or _fused_capable(a, ca, cfg, itemsize)
+            ok_b = b <= cfg.direct_threshold or _fused_capable(b, cb, cfg, itemsize)
+            if ca and cb and ok_a and ok_b:
+                return a, b
+        if best is None and n % g1 == 0:
+            best = (n // g1, g1)
+    # Fall back: recursive global on the larger side.
+    if best is None:
+        # n is prime or near-prime beyond max_factor — caller handles
+        # via Bluestein before reaching here.
+        raise AssertionError(f"no global split for n={n}")
+    return best
+
+
+def plan_1d(n: int, cfg: DeviceConfig, itemsize: int) -> Plan1D:
+    """Plan one transform dimension (reference prepare_implementation,
+    committed_descriptor_impl.hpp:211-313)."""
+    if n <= cfg.direct_threshold:
+        return Plan1D(n=n, level=Level.DIRECT, factors=[n], batch_tile=cfg.batch_tile)
+
+    chain = factor_chain(n, cfg.max_factor)
+    if chain is None:
+        # Large prime factor: if n itself is a product with large prime p,
+        # peel the smooth part into a four-step with the Bluestein side.
+        p = largest_prime_factor(n)
+        if p == n:
+            conv_n = 1 << (2 * n - 1).bit_length()
+            return Plan1D(
+                n=n,
+                level=Level.BLUESTEIN,
+                factors=[],
+                conv=plan_1d(conv_n, cfg, itemsize),
+            )
+        return Plan1D(
+            n=n,
+            level=Level.GLOBAL,
+            factors=[],
+            sub=(plan_1d(n // p, cfg, itemsize), plan_1d(p, cfg, itemsize)),
+        )
+
+    if _fused_capable(n, chain, cfg, itemsize):
+        return Plan1D(
+            n=n,
+            level=Level.FUSED,
+            factors=chain,
+            batch_tile=_pick_batch_tile(n, chain, cfg, itemsize),
+        )
+
+    g1, g2 = _global_split(n, cfg, itemsize)
+    return Plan1D(
+        n=n,
+        level=Level.GLOBAL,
+        factors=[],
+        sub=(plan_1d(g1, cfg, itemsize), plan_1d(g2, cfg, itemsize)),
+    )

@@ -1,0 +1,140 @@
+"""Level-keyed FFT correctness suites.
+
+Mirrors the reference suite structure (test/unit_test/instantiate_fft_tests.hpp)
+where test groups are keyed by the planner level they exercise — the
+size→level mapping is the de facto spec of the planner.  Reference suites:
+workItemTest {1,2,3,4,8}, workItemOrSubgroupTest {16,32}, SubgroupTest
+{64,96,128}, SubgroupOrWorkgroupTest {256,512,1024}, WorkgroupTest
+{2048,3072,4096}, WorkgroupOrGlobal {8192,16384}, GlobalTest
+{32768,65536,131072}; this build's levels are DIRECT (≤128), FUSED
+(VMEM-resident), GLOBAL (multi-pass).
+"""
+
+import numpy as np
+import pytest
+
+from fft_test_utils import run_test
+from portfft_tpu import Descriptor, Direction, Level
+from portfft_tpu.config import DeviceConfig
+from portfft_tpu.planner import plan_1d
+
+F = Direction.FORWARD
+B = Direction.BACKWARD
+
+
+# --- planner level mapping (the spec of prepare_implementation) -----------
+
+
+@pytest.mark.parametrize(
+    "n,level",
+    [
+        (1, Level.DIRECT),
+        (2, Level.DIRECT),
+        (27, Level.DIRECT),
+        (128, Level.DIRECT),
+        (256, Level.FUSED),
+        (4096, Level.FUSED),
+        (8192, Level.FUSED),
+        (131072, Level.GLOBAL),
+        (1 << 20, Level.GLOBAL),
+        (65537, Level.BLUESTEIN),  # prime; reference throws, we Bluestein
+    ],
+)
+def test_planner_levels(n, level):
+    cfg = DeviceConfig()
+    assert plan_1d(n, cfg, 4).level == level
+
+
+def test_planner_factor_chain_products():
+    from portfft_tpu.planner import factor_chain
+
+    cfg = DeviceConfig()
+    for n in [2, 6, 96, 128, 256, 360, 4096, 6000, 12288]:
+        chain = factor_chain(n, cfg.max_factor)
+        assert np.prod(chain) == n
+        assert all(f <= cfg.max_factor for f in chain)
+
+
+# --- direct level (reference workItem/workItemOrSubgroup sizes) ------------
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 8, 16, 32])
+@pytest.mark.parametrize("batch", [1, 3, 513])
+def test_direct_small(n, batch):
+    run_test(lengths=[n], number_of_transforms=batch)
+
+
+@pytest.mark.parametrize("n", [64, 96, 128])
+@pytest.mark.parametrize("direction", [F, B])
+def test_direct_upper(n, direction):
+    run_test(direction=direction, lengths=[n], number_of_transforms=7)
+
+
+# --- fused level (reference subgroup/workgroup sizes) -----------------------
+
+
+@pytest.mark.parametrize("n", [256, 512, 1024, 1536])
+def test_fused_small(n):
+    run_test(lengths=[n], number_of_transforms=5)
+
+
+@pytest.mark.parametrize("n", [2048, 3072, 4096])
+@pytest.mark.parametrize("direction", [F, B])
+def test_fused_large(n, direction):
+    run_test(direction=direction, lengths=[n], number_of_transforms=3)
+
+
+@pytest.mark.parametrize("n", [80, 100, 363])  # odd-radix regression sizes
+def test_fused_odd_radices(n):
+    run_test(lengths=[n], number_of_transforms=44)
+
+
+# --- global level (reference WorkgroupOrGlobal/Global sizes) ----------------
+
+
+@pytest.mark.parametrize("n", [8192, 16384])
+def test_fused_or_global(n):
+    run_test(lengths=[n], number_of_transforms=3)
+
+
+@pytest.mark.parametrize("n", [32768, 65536, 131072])
+def test_global(n):
+    run_test(lengths=[n], number_of_transforms=2)
+
+
+@pytest.mark.parametrize("n", [9800, 15360, 68640])  # reference regressions
+def test_global_regressions(n):
+    run_test(lengths=[n], number_of_transforms=2)
+
+
+def test_global_1m():
+    run_test(lengths=[1 << 20], number_of_transforms=1)
+
+
+# --- backward (reference BackwardTest/BackwardGlobalTest) -------------------
+
+
+@pytest.mark.parametrize("n", [8, 64, 4096, 32768, 65536])
+def test_backward(n):
+    run_test(direction=B, lengths=[n], number_of_transforms=2)
+
+
+# --- bluestein (beyond reference capability) --------------------------------
+
+
+@pytest.mark.parametrize("n", [151, 911, 65537])
+def test_bluestein_primes(n):
+    run_test(lengths=[n], number_of_transforms=3)
+
+
+def test_bluestein_composite_large_prime():
+    # 2 * 1009: smooth part times a large prime
+    run_test(lengths=[2018], number_of_transforms=2)
+
+
+# --- fp64 -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [8, 64, 1024, 4096])
+def test_fp64(n):
+    run_test(lengths=[n], number_of_transforms=3, precision=np.float64)

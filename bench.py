@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark driver — portFFT's headline configurations on TPU.
+
+Mirrors the reference benchmark set and metrics
+(test/bench/portfft/bench_float.cpp:49-52, test/bench/utils/
+reference_dft_set.hpp:89-92 and ops_estimate.hpp:34-50):
+
+* configs: C2C fp32 forward out-of-place
+    N=16    batch=8Mi    (reference workitem level  / DIRECT here)
+    N=256   batch=512Ki  (subgroup                  / FUSED)
+    N=4096  batch=32Ki   (workgroup                 / FUSED)
+    N=65536 batch=2048   (global                    / GLOBAL)
+* flops counter:      5·batch·N·log2(N) / s   (radix-2 CT estimate)
+* throughput counter: batch·(bytes_in+bytes_out) / s  (single-pass bytes)
+
+Protocol follows the reference host-time measurement (launch_bench.hpp:
+50-145): warm-up + verification on the first run, then the average of
+``RUNS_TO_AVERAGE`` asynchronously-dispatched computes per sample.
+
+Prints ONE JSON line: the headline metric is the geometric-mean GFLOP/s
+across the four configs; ``vs_baseline`` is the geomean single-pass
+bandwidth efficiency divided by the 0.80-of-roofline target
+(BASELINE.json north star) — 1.0 means the target is met exactly.
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+CONFIGS = [
+    ("small_1d", 16, 8 * 1024 * 1024),
+    ("medium_small_1d", 256, 512 * 1024),
+    ("medium_large_1d", 4096, 32 * 1024),
+    ("large_1d", 65536, 2048),
+]
+RUNS_TO_AVERAGE = 10
+SAMPLES = 5
+
+
+def bench_config(name, n, batch, hbm_gbps):
+    import jax
+    import portfft_tpu as pfft
+
+    desc = pfft.Descriptor(lengths=[n], number_of_transforms=batch)
+    plan = desc.commit()
+
+    rng = np.random.default_rng(0)
+    # Raw interleaved float buffer — the zero-conversion device path.
+    x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    import jax.numpy as jnp
+
+    xd = jnp.asarray(x)
+
+    # First run verifies against the oracle on a slice (reference
+    # PORTFFT_VERIFY_BENCHMARKS, launch_bench.hpp:94-102).
+    y = plan.compute_forward(xd)
+    y.block_until_ready()
+    check_b = min(batch, 4)
+    got = np.asarray(y[: 2 * check_b * n]).view(np.complex64).reshape(check_b, n)
+    ref = np.fft.fft(
+        x[: 2 * check_b * n].view(np.complex64).reshape(check_b, n), axis=1
+    )
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    if not rel < 1e-2:
+        raise AssertionError(f"{name}: verification failed, rel={rel}")
+
+    times = []
+    for _ in range(SAMPLES):
+        t0 = time.perf_counter()
+        for _ in range(RUNS_TO_AVERAGE):
+            y = plan.compute_forward(xd)
+        y.block_until_ready()
+        times.append((time.perf_counter() - t0) / RUNS_TO_AVERAGE)
+    t = min(times)
+
+    flops = 5.0 * batch * n * math.log2(n)
+    bytes_moved = batch * n * 8 * 2  # complex64 in + out, single-pass
+    gflops = flops / t / 1e9
+    gbps = bytes_moved / t / 1e9
+    eff = gbps / hbm_gbps
+    print(
+        f"  {name:18s} N={n:<7d} b={batch:<9d} {t*1e3:8.3f} ms  "
+        f"{gflops:9.1f} GFLOP/s  {gbps:8.1f} GB/s  {100*eff:5.1f}% roofline  "
+        f"rel_err={rel:.1e}",
+        file=sys.stderr,
+    )
+    return gflops, eff
+
+
+def main():
+    import jax
+    import portfft_tpu as pfft
+
+    dev = jax.devices()[0]
+    cfg = pfft.resolve_device_config(dev)
+    print(
+        f"device: {dev.device_kind} ({cfg.name}), peak HBM {cfg.hbm_gbps} GB/s",
+        file=sys.stderr,
+    )
+
+    gflops_list, eff_list = [], []
+    for name, n, batch in CONFIGS:
+        g, e = bench_config(name, n, batch, cfg.hbm_gbps)
+        gflops_list.append(g)
+        eff_list.append(e)
+
+    geo_gflops = math.exp(sum(math.log(g) for g in gflops_list) / len(gflops_list))
+    geo_eff = math.exp(sum(math.log(e) for e in eff_list) / len(eff_list))
+    print(
+        json.dumps(
+            {
+                "metric": "batched 1D C2C fp32 fwd GFLOP/s (geomean of portFFT bench set)",
+                "value": round(geo_gflops, 2),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(geo_eff / 0.80, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -150,6 +150,9 @@ class CommittedDescriptor:
         n = d.get_flattened_length()
         offset = d.get_offset(direction)
         if layout == Layout.PACKED:
+            if offset == 0 and flat_out.shape[0] == batch * n:
+                # Full coverage: the destination buffer is irrelevant.
+                return result.reshape(batch * n)
             return jax.lax.dynamic_update_slice_in_dim(
                 flat_out, result.reshape(batch * n), offset, axis=0
             )
@@ -212,6 +215,43 @@ class CommittedDescriptor:
     # Compiled entry points
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _deinterleave(raw):
+        """(2M,) interleaved scalars -> two (M,) planes, TPU-layout-safe.
+
+        A naive ``reshape(M, 2)`` pads the 2-wide lane dimension to 128 on
+        TPU (64× memory blowup); instead view the buffer as (X, 256) rows —
+        128 complex pairs per row — and take strided lane slices."""
+        m = raw.shape[0] // 2
+        pad = (-m) % 128
+        if pad:
+            raw = jnp.pad(raw, (0, 2 * pad))
+        rows = raw.reshape(-1, 256)
+        re = rows[:, 0::2].reshape(-1)
+        im = rows[:, 1::2].reshape(-1)
+        if pad:
+            re = re[:m]
+            im = im[:m]
+        return re, im
+
+    @staticmethod
+    def _interleave(re, im):
+        """Two (M,) planes -> (2M,) interleaved, via interior-padded adds
+        (lane-interleave without a 2-wide intermediate)."""
+        m = re.shape[0]
+        pad = (-m) % 128
+        if pad:
+            re = jnp.pad(re, (0, pad))
+            im = jnp.pad(im, (0, pad))
+        re2 = re.reshape(-1, 128)
+        im2 = im.reshape(-1, 128)
+        cfg_r = [(0, 0, 0), (0, 1, 1)]  # [r, 0, r, 0, ...]
+        cfg_i = [(0, 0, 0), (1, 0, 1)]  # [0, i, 0, i, ...]
+        zero = jnp.zeros((), dtype=re.dtype)
+        rows = jax.lax.pad(re2, zero, cfg_r) + jax.lax.pad(im2, zero, cfg_i)
+        out = rows.reshape(-1)
+        return out[: 2 * m] if pad else out
+
     def _traced_interleaved(self, direction: Direction):
         """Interleaved storage, raw-scalar device buffers.
 
@@ -223,16 +263,16 @@ class CommittedDescriptor:
         """
 
         def fn(raw_in, raw_out, bank):
-            pairs = raw_in.reshape(-1, 2)
-            xr = self._gather(pairs[:, 0], direction)
-            xi = self._gather(pairs[:, 1], direction)
+            in_re, in_im = self._deinterleave(raw_in)
+            xr = self._gather(in_re, direction)
+            xi = self._gather(in_im, direction)
             yr, yi = self._core(xr, xi, direction, bank)
             # Output lives in the opposite domain's layout (enums.hpp:39).
             out_dir = _inv(direction)
-            out_pairs = raw_out.reshape(-1, 2)
-            o_re = self._scatter(yr, out_pairs[:, 0], out_dir)
-            o_im = self._scatter(yi, out_pairs[:, 1], out_dir)
-            return jnp.stack([o_re, o_im], axis=-1).reshape(-1)
+            out_re, out_im = self._deinterleave(raw_out)
+            o_re = self._scatter(yr, out_re, out_dir)
+            o_im = self._scatter(yi, out_im, out_dir)
+            return self._interleave(o_re, o_im)
 
         return fn
 
@@ -291,12 +331,12 @@ class CommittedDescriptor:
                 "np_complex",
             )
         if isinstance(x, jax.Array) and jnp.iscomplexobj(x):
-            raw = jnp.stack([x.reshape(-1).real, x.reshape(-1).imag], axis=-1)
-            return raw.reshape(-1), "jax_complex"
+            flat = x.reshape(-1)
+            return self._interleave(flat.real, flat.imag), "jax_complex"
         x = jnp.asarray(x)
         if jnp.iscomplexobj(x):
-            raw = jnp.stack([x.reshape(-1).real, x.reshape(-1).imag], axis=-1)
-            return raw.reshape(-1), "jax_complex"
+            flat = x.reshape(-1)
+            return self._interleave(flat.real, flat.imag), "jax_complex"
         if x.size % 2:
             raise InvalidConfiguration(
                 "raw interleaved buffer must have an even number of scalars"
@@ -307,8 +347,8 @@ class CommittedDescriptor:
         if kind == "np_complex":
             return np.asarray(raw).view(self._complex_dtype())
         if kind == "jax_complex":
-            pairs = raw.reshape(-1, 2)
-            return jax.lax.complex(pairs[:, 0], pairs[:, 1])
+            re, im = self._deinterleave(raw)
+            return jax.lax.complex(re, im)
         return raw
 
     def _compute_interleaved(self, direction, x, out):

@@ -221,12 +221,13 @@ def exec_plan(
 ) -> tuple[Array, Array]:
     """Execute a plan tree over the last axis of (xr, xi).
 
-    ``leaf_fn(xr, xi, plan, sign) -> (yr, yi) or None`` lets the Pallas
-    backend intercept DIRECT/FUSED leaves; None falls back to the XLA chain.
+    ``leaf_fn(xr, xi, plan, sign, bank) -> (yr, yi) or None`` lets the
+    Pallas backend intercept DIRECT/FUSED leaves; None falls back to the XLA
+    chain.
     """
     if plan.level in (Level.DIRECT, Level.FUSED):
         if leaf_fn is not None:
-            res = leaf_fn(xr, xi, plan, sign)
+            res = leaf_fn(xr, xi, plan, sign, bank)
             if res is not None:
                 return res
         return exec_chain_xla(xr, xi, plan.factors, sign, bank_keys, bank)

@@ -1,0 +1,65 @@
+"""Pallas fused-kernel correctness in interpreter mode.
+
+The TPU kernels (ops/pallas_fft.py) run under the Pallas interpreter on the
+CPU backend — the analogue of the reference's golden-value device-kernel
+tests — comparing against the NumPy oracle at the standard tolerance."""
+
+import numpy as np
+import pytest
+
+import oracle
+from portfft_tpu import Descriptor, Direction
+from portfft_tpu.enums import Level
+
+F = Direction.FORWARD
+B = Direction.BACKWARD
+
+
+def run_pallas(direction, **kw):
+    desc = Descriptor(**kw)
+    plan = desc.commit(use_pallas=True)
+    n = desc.lengths[0]
+    assert plan.plans[n].level in (Level.DIRECT, Level.FUSED)
+    x = oracle.gen_input(desc, 3)
+    ref = oracle.reference_output(desc, x, direction)
+    flat = oracle.materialize(desc, x, direction)
+    compute = (
+        plan.compute_forward if direction == F else plan.compute_backward
+    )
+    out = np.asarray(compute(flat))
+    oracle.verify(desc, out, ref, direction, check_padding=False)
+
+
+@pytest.mark.parametrize("n", [8, 64, 128])
+def test_pallas_direct(n):
+    run_pallas(F, lengths=[n], number_of_transforms=9)
+
+
+@pytest.mark.parametrize("n", [256, 1024, 4096])
+def test_pallas_fused(n):
+    run_pallas(F, lengths=[n], number_of_transforms=3)
+
+
+def test_pallas_odd_radix():
+    run_pallas(F, lengths=[363], number_of_transforms=5)
+
+
+@pytest.mark.parametrize("n", [64, 2048])
+def test_pallas_backward(n):
+    run_pallas(B, lengths=[n], number_of_transforms=2)
+
+
+def test_pallas_batch_not_tile_multiple():
+    run_pallas(F, lengths=[256], number_of_transforms=13)
+
+
+def test_pallas_global_subplans():
+    # GLOBAL level drives pallas leaves for its two sub-transforms.
+    desc = Descriptor(lengths=[1 << 15], number_of_transforms=2)
+    plan = desc.commit(use_pallas=True)
+    assert plan.plans[1 << 15].level == Level.GLOBAL
+    x = oracle.gen_input(desc, 4)
+    ref = oracle.reference_output(desc, x, F)
+    flat = oracle.materialize(desc, x, F)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, F, check_padding=False)

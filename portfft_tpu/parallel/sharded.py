@@ -1,0 +1,230 @@
+"""Multi-chip execution: batch data-parallelism and a distributed large-N
+transform over a device mesh.
+
+Capability beyond the reference (single-device; SURVEY.md §5.8 marks all
+distributed parallelism **absent**).  Two strategies:
+
+* :func:`batch_parallel` — embarrassingly parallel batch sharding: each
+  device transforms its slice of the batch; zero collectives.  The TPU
+  analogue of scaling the reference's batch loop across chips.
+* :class:`DistributedFFT` — the transform dimension itself is sharded
+  ("sequence parallel" for FFTs): a four-step decomposition n = G1·G2 where
+  the inter-factor redistribution is ``all_to_all`` over the ICI mesh axis —
+  the distributed generalization of the reference global engine's
+  inter-factor transposes (common/global.hpp:192-272).
+
+  forward:  x (B, n) sharded on n →
+    all_to_all → local FFT(G1) → twiddle → all_to_all → local FFT(G2)
+    [→ all_to_all for natural output order]
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import resolve_device_config
+from ..ops import xla_fft
+from ..planner import plan_1d
+
+
+def batch_parallel(committed, mesh: Mesh, axis: str = "dp", direction=None):
+    """Batch-sharded plane transform.
+
+    Returns ``fn(xr, xi) -> (yr, yi)`` operating on canonical
+    ``(batch, *lengths)`` float planes sharded over ``axis`` on the batch
+    dimension.  Uses the committed plan's core executor per shard — no
+    collectives are inserted (batch parallelism is embarrassingly parallel).
+    """
+    from ..enums import Direction
+
+    direction = direction or Direction.FORWARD
+    ndim = len(committed.descriptor.lengths)
+    spec = P(axis, *([None] * ndim))
+    out_sharding = (
+        NamedSharding(mesh, spec),
+        NamedSharding(mesh, spec),
+    )
+
+    bank = committed._bank_arrays
+
+    @partial(jax.jit, out_shardings=out_sharding)
+    def fn(xr, xi):
+        xr = jax.lax.with_sharding_constraint(xr, NamedSharding(mesh, spec))
+        xi = jax.lax.with_sharding_constraint(xi, NamedSharding(mesh, spec))
+        return committed._core(xr, xi, direction, bank)
+
+    return fn
+
+
+def _balanced_split(n: int, p: int) -> tuple[int, int]:
+    """n = G1·G2 with p | G1, p | G2, G1/G2 as balanced as possible."""
+    best = None
+    for g1 in range(int(math.isqrt(n)), 0, -1):
+        if n % g1:
+            continue
+        g2 = n // g1
+        for a, b in ((g1, g2), (g2, g1)):
+            if a % p == 0 and b % p == 0:
+                if best is None or abs(a - b) < abs(best[0] - best[1]):
+                    best = (a, b)
+        if best:
+            break
+    if best is None:
+        raise ValueError(
+            f"cannot shard n={n} over {p} devices: need a split n=G1*G2 "
+            f"with {p} dividing both factors"
+        )
+    return best
+
+
+class DistributedFFT:
+    """Large-N C2C transform with the transform dimension sharded over a
+    mesh axis.
+
+    Input/output: float planes ``(B, n)`` with the last dimension sharded
+    over ``seq_axis`` (and optionally batch over ``batch_axis``).
+
+    ``natural_order=False`` skips the final redistribution and returns the
+    four-step "transposed" index order X_view[k1, k2] (X[k1 + G1·k2]),
+    sharded over k1 — useful when a backward transform follows immediately.
+    """
+
+    def __init__(
+        self,
+        n: int,
+        mesh: Mesh,
+        *,
+        seq_axis: str = "sp",
+        batch_axis: Optional[str] = None,
+        precision=np.float32,
+        natural_order: bool = True,
+        device=None,
+    ):
+        self.n = n
+        self.mesh = mesh
+        self.seq_axis = seq_axis
+        self.batch_axis = batch_axis
+        self.natural_order = natural_order
+        self.precision = np.dtype(precision)
+        p = mesh.shape[seq_axis]
+        self.num_shards = p
+        self.g1, self.g2 = _balanced_split(n, p)
+
+        cfg = resolve_device_config(device)
+        itemsize = self.precision.itemsize
+        self.plan1 = plan_1d(self.g1, cfg, itemsize)
+        self.plan2 = plan_1d(self.g2, cfg, itemsize)
+
+        bank = xla_fft.TwiddleBank(self.precision)
+        self._bank_keys: dict = {}
+        for sign in (-1, +1):
+            xla_fft.collect_bank_keys(self.plan1, sign, bank, self._bank_keys)
+            xla_fft.collect_bank_keys(self.plan2, sign, bank, self._bank_keys)
+            self._bank_keys[("T", self.g1, self.g2, sign)] = bank.twiddle(
+                self.g1, self.g2, sign
+            )
+        self._bank_arrays = bank.device_arrays(device)
+        self._fns: dict = {}
+
+    # -- sharding specs ------------------------------------------------
+
+    def _x_spec(self) -> P:
+        return P(self.batch_axis, self.seq_axis)
+
+    def input_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self._x_spec())
+
+    # -- traced local computation (inside shard_map) ---------------------
+
+    def _local_fn(self, sign: int):
+        g1, g2, p = self.g1, self.g2, self.num_shards
+        seq = self.seq_axis
+        keys = self._bank_keys
+        tkey = keys[("T", g1, g2, sign)]
+
+        def fn(xr, xi, tw_r, tw_i, bank):
+            # local (Bl, n/p) = (Bl, g1/p, g2) slab of the (g1, g2) view
+            bl = xr.shape[0]
+            xr = xr.reshape(bl, g1 // p, g2)
+            xi = xi.reshape(bl, g1 // p, g2)
+            # redistribute: full g1, g2/p local
+            xr = jax.lax.all_to_all(xr, seq, split_axis=2, concat_axis=1, tiled=True)
+            xi = jax.lax.all_to_all(xi, seq, split_axis=2, concat_axis=1, tiled=True)
+            # local FFT over g1 (contiguous after transpose)
+            xr = jnp.swapaxes(xr, 1, 2)  # (Bl, g2/p, g1)
+            xi = jnp.swapaxes(xi, 1, 2)
+            xr, xi = xla_fft.exec_plan(xr, xi, self.plan1, sign, keys, bank)
+            # inter-factor twiddle W_n^{k1·g2}: tw is the local (g2/p, g1)
+            # slice of the (g2, g1) table
+            xr, xi = xla_fft.complex_mul(xr, xi, tw_r, tw_i)
+            # redistribute: full g2, k1/p local
+            xr = jax.lax.all_to_all(xr, seq, split_axis=2, concat_axis=1, tiled=True)
+            xi = jax.lax.all_to_all(xi, seq, split_axis=2, concat_axis=1, tiled=True)
+            # local FFT over g2
+            xr = jnp.swapaxes(xr, 1, 2)  # (Bl, k1/p, g2)
+            xi = jnp.swapaxes(xi, 1, 2)
+            xr, xi = xla_fft.exec_plan(xr, xi, self.plan2, sign, keys, bank)
+            # C[k1, k2]; X[k1 + g1*k2] = C[k1, k2]
+            if self.natural_order:
+                # natural view (k2, k1): transpose locally then exchange so
+                # each shard holds a contiguous k-range
+                xr = jnp.swapaxes(xr, 1, 2)  # (Bl, g2, k1/p)
+                xi = jnp.swapaxes(xi, 1, 2)
+                xr = jax.lax.all_to_all(xr, seq, split_axis=1, concat_axis=2, tiled=True)
+                xi = jax.lax.all_to_all(xi, seq, split_axis=1, concat_axis=2, tiled=True)
+                # (Bl, g2/p, g1) = natural-order local slab
+            return xr.reshape(bl, -1), xi.reshape(bl, -1)
+
+        return fn
+
+    def _build(self, sign: int):
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        x_spec = self._x_spec()
+        t_spec = P(self.seq_axis, None)
+        bank_spec = P()  # replicated tables
+        tkey = self._bank_keys[("T", self.g1, self.g2, sign)]
+
+        local = self._local_fn(sign)
+        kwargs = dict(
+            mesh=self.mesh,
+            in_specs=(x_spec, x_spec, t_spec, t_spec, bank_spec),
+            out_specs=(x_spec, x_spec),
+        )
+        try:
+            mapped = shard_map(local, check_vma=False, **kwargs)
+        except TypeError:  # older jax spelling
+            mapped = shard_map(local, check_rep=False, **kwargs)
+
+        @jax.jit
+        def fn(xr, xi):
+            return mapped(
+                xr,
+                xi,
+                self._bank_arrays[tkey + "r"],
+                self._bank_arrays[tkey + "i"],
+                self._bank_arrays,
+            )
+
+        return fn
+
+    def _get(self, sign: int):
+        if sign not in self._fns:
+            self._fns[sign] = self._build(sign)
+        return self._fns[sign]
+
+    def forward(self, xr, xi):
+        return self._get(-1)(xr, xi)
+
+    def backward(self, xr, xi):
+        return self._get(+1)(xr, xi)

@@ -59,7 +59,14 @@ def factor_chain(n: int, max_factor: int) -> Optional[list[int]]:
     Returns None when ``n`` has a prime factor exceeding ``max_factor``
     (→ Bluestein).  Analogue of reference ``factorize_input``
     (utils.hpp:94-132) with the MXU width as the per-pass capability bound.
+    Uses the native C++ core (native/planner.cpp) when available.
     """
+    try:
+        from . import native
+
+        return native.factor_chain(n, max_factor)
+    except (RuntimeError, OSError):
+        pass
     if n == 1:
         return [1]
     if largest_prime_factor(n) > max_factor:
@@ -157,6 +164,22 @@ def _global_split(n: int, cfg: DeviceConfig, itemsize: int) -> tuple[int, int]:
     pressure; analogue of the reference's L2-chunked global factorization,
     committed_descriptor_impl.hpp:271-312).
     """
+    try:
+        from . import native
+
+        split = native.global_split(
+            n,
+            cfg.max_factor,
+            cfg.direct_threshold,
+            cfg.sublane,
+            itemsize,
+            cfg.vmem_budget,
+        )
+        if split is not None:
+            return split
+    except (RuntimeError, OSError):
+        pass
+
     best = None
     root = int(math.isqrt(n))
     for g1 in range(root, 1, -1):

@@ -91,6 +91,21 @@ def _1d_overlap_check(
     fft_size = lengths[0]
     stride = strides[0]
 
+    try:
+        from . import native
+
+        bad = native.overlap_check_1d(
+            fft_size, number_of_transforms, stride, distance
+        )
+        if bad >= 0:
+            raise InvalidConfiguration(
+                f"Domain {domain_str}: batch {bad} collides with first "
+                f"batch at index {bad * distance}"
+            )
+        return
+    except (RuntimeError, OSError):
+        pass
+
     first_batch_limit = stride * fft_size
     first_length_limit = distance * number_of_transforms
     if (stride <= distance and first_batch_limit <= distance) or (

@@ -46,6 +46,8 @@ class CommittedDescriptor:
     """A planned, compiled FFT ready for repeated execution."""
 
     def __init__(self, descriptor, device=None, use_pallas: Optional[bool] = None):
+        from .utils.logging import trace
+
         self.descriptor = descriptor
         self.config = resolve_device_config(device)
         self.precision = np.dtype(descriptor.precision)
@@ -86,6 +88,12 @@ class CommittedDescriptor:
         self._bank_arrays = self._bank.device_arrays(device)
 
         self._compiled: dict = {}
+        trace(
+            "committed:",
+            {n: p.describe() for n, p in self.plans.items()},
+            f"device={self.config.name}",
+            f"pallas={self.use_pallas}",
+        )
 
     # ------------------------------------------------------------------
     # Public API (reference committed_descriptor.hpp:58-310)
@@ -105,6 +113,16 @@ class CommittedDescriptor:
     def plan_description(self) -> dict:
         """Human-readable plan summary (one entry per dimension length)."""
         return {n: p.describe() for n, p in self.plans.items()}
+
+    def clone(self) -> "CommittedDescriptor":
+        """Copy sharing the built plan, twiddle arrays and compiled
+        executables (reference create_copy shares kernel bundles,
+        committed_descriptor_impl.hpp:774-803; with immutable JAX arrays
+        there is no scratch to re-allocate)."""
+        import copy
+
+        new = copy.copy(self)
+        return new
 
     # ------------------------------------------------------------------
     # Layout canonicalization

@@ -72,6 +72,22 @@ def _config_for_kind(device_kind: str, platform: str) -> DeviceConfig:
     return DeviceConfig(name="tpu_unknown")
 
 
+def enable_persistent_cache(path: str = "~/.cache/portfft_tpu_xla") -> None:
+    """Persist compiled executables across processes (the framework's
+    plan-reuse story, replacing the reference's in-memory kernel-bundle
+    sharing, committed_descriptor_impl.hpp:774-803: identical descriptors
+    re-committed in a new process hit the XLA compilation cache instead of
+    recompiling)."""
+    import os
+
+    import jax
+
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def resolve_device_config(device=None) -> DeviceConfig:
     """Introspect the target device (commit-time, like
     committed_descriptor_impl.hpp:716-731)."""

@@ -181,6 +181,38 @@ class Descriptor:
 
         return self.get_input_count(inv(direction))
 
+    # -- serialization (plan-reuse / checkpoint analogue, SURVEY §5.4) -------
+
+    def to_dict(self) -> dict:
+        """JSON-serializable problem description.  Committing an identical
+        descriptor in a later process reproduces the same plan; pair with
+        :func:`portfft_tpu.config.enable_persistent_cache` to also reuse the
+        XLA executables across processes."""
+        return {
+            "lengths": list(self.lengths),
+            "precision": str(np.dtype(self.precision)),
+            "domain": self.domain.value,
+            "forward_scale": float(self.forward_scale),
+            "backward_scale": float(self.backward_scale),
+            "number_of_transforms": self.number_of_transforms,
+            "complex_storage": self.complex_storage.value,
+            "placement": self.placement.value,
+            "forward_strides": list(self.forward_strides),
+            "backward_strides": list(self.backward_strides),
+            "forward_distance": self.forward_distance,
+            "backward_distance": self.backward_distance,
+            "forward_offset": self.forward_offset,
+            "backward_offset": self.backward_offset,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Descriptor":
+        d = dict(d)
+        d["domain"] = Domain(d["domain"])
+        d["complex_storage"] = ComplexStorage(d["complex_storage"])
+        d["placement"] = Placement(d["placement"])
+        return cls(**d)
+
     # -- commit --------------------------------------------------------------
 
     def commit(self, device=None, **options):

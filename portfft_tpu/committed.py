@@ -45,10 +45,23 @@ _SIGN = {Direction.FORWARD: -1, Direction.BACKWARD: +1}
 class CommittedDescriptor:
     """A planned, compiled FFT ready for repeated execution."""
 
-    def __init__(self, descriptor, device=None, use_pallas: Optional[bool] = None):
+    def __init__(
+        self,
+        descriptor,
+        device=None,
+        use_pallas: Optional[bool] = None,
+        matmul_precision=None,
+    ):
         from .utils.logging import trace
 
         self.descriptor = descriptor
+        # MXU precision for factor matmuls (None -> HIGHEST).  "high" is the
+        # fast mode: ~2x MXU throughput, still within the test tolerance.
+        import os as _os
+
+        if matmul_precision is None:
+            matmul_precision = _os.environ.get("PORTFFT_MATMUL_PRECISION")
+        self.matmul_precision = matmul_precision
         self.config = resolve_device_config(device)
         self.precision = np.dtype(descriptor.precision)
         itemsize = self.precision.itemsize
@@ -195,6 +208,7 @@ class CommittedDescriptor:
             pallas_fft.leaf_dispatch,
             bank_keys=self._bank_keys,
             config=self.config,
+            precision=self.matmul_precision,
         )
 
     def _core(self, xr, xi, direction: Direction, bank):
@@ -217,7 +231,14 @@ class CommittedDescriptor:
                 xr = jnp.moveaxis(xr, 1 + axis, -1)
                 xi = jnp.moveaxis(xi, 1 + axis, -1)
             xr, xi = xla_fft.exec_plan(
-                xr, xi, plan, sign, self._bank_keys, bank, leaf
+                xr,
+                xi,
+                plan,
+                sign,
+                self._bank_keys,
+                bank,
+                leaf,
+                self.matmul_precision,
             )
             if axis != ndims - 1:
                 xr = jnp.moveaxis(xr, -1, 1 + axis)

@@ -48,7 +48,7 @@ def _leaf_table_keys(plan: Plan1D, sign: int, bank_keys: dict) -> list[str]:
     return names
 
 
-def _chain_kernel(factors, sign, bank_keys, table_names, n_tables):
+def _chain_kernel(factors, sign, bank_keys, table_names, n_tables, precision):
     """Build the kernel body: whole factor chain on one (bt, n) block."""
 
     def kernel(xr_ref, xi_ref, *rest):
@@ -58,7 +58,7 @@ def _chain_kernel(factors, sign, bank_keys, table_names, n_tables):
             name: ref[...] for name, ref in zip(table_names, table_refs)
         }
         yr, yi = xla_fft.exec_chain_xla(
-            xr_ref[...], xi_ref[...], factors, sign, bank_keys, bank
+            xr_ref[...], xi_ref[...], factors, sign, bank_keys, bank, precision
         )
         or_ref[...] = yr
         oi_ref[...] = yi
@@ -71,7 +71,9 @@ def _interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def fused_chain(xr, xi, plan: Plan1D, sign: int, bank_keys, bank, config):
+def fused_chain(
+    xr, xi, plan: Plan1D, sign: int, bank_keys, bank, config, precision=None
+):
     """Run a DIRECT/FUSED leaf as one Pallas kernel over the batch grid.
 
     xr/xi: (..., n) planes.  Returns transformed planes of the same shape.
@@ -106,7 +108,12 @@ def fused_chain(xr, xi, plan: Plan1D, sign: int, bank_keys, bank, config):
     ]
 
     kernel = _chain_kernel(
-        tuple(plan.factors), sign, bank_keys, tuple(table_names), len(tables)
+        tuple(plan.factors),
+        sign,
+        bank_keys,
+        tuple(table_names),
+        len(tables),
+        xla_fft.resolve_precision(precision),
     )
 
     flops = 8 * bp * n * sum(plan.factors)
@@ -130,7 +137,9 @@ def fused_chain(xr, xi, plan: Plan1D, sign: int, bank_keys, bank, config):
     return yr.reshape(*lead, n), yi.reshape(*lead, n)
 
 
-def leaf_dispatch(xr, xi, plan, sign, bank, *, bank_keys, config):
+def leaf_dispatch(
+    xr, xi, plan, sign, bank, *, bank_keys, config, precision=None
+):
     """Executor hook: run DIRECT/FUSED leaves as Pallas kernels.
 
     Returns None to fall back to the XLA chain (e.g. fp64, which has no
@@ -139,4 +148,6 @@ def leaf_dispatch(xr, xi, plan, sign, bank, *, bank_keys, config):
         return None
     if xr.dtype != jnp.float32:
         return None
-    return fused_chain(xr, xi, plan, sign, bank_keys, bank, config)
+    return fused_chain(
+        xr, xi, plan, sign, bank_keys, bank, config, precision
+    )

@@ -39,7 +39,25 @@ from ..enums import Level
 from ..planner import Plan1D
 
 Array = jax.Array
+
+#: MXU precision for the factor matmuls.  HIGHEST (6-pass bf16 emulation)
+#: gives full fp32 accuracy; HIGH (3-pass) roughly halves MXU time and still
+#: clears the test tolerance 2·eps·N·log2N at all supported sizes.  Settable
+#: per commit (CommittedDescriptor(..., matmul_precision=...)).
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 _PRECISION = jax.lax.Precision.HIGHEST
+
+
+def resolve_precision(p):
+    if p is None:
+        return _PRECISION
+    if isinstance(p, str):
+        return _PRECISIONS[p.lower()]
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -111,13 +129,14 @@ class TwiddleBank:
 
 
 def complex_matmul_last(
-    xr: Array, xi: Array, wr: Array, wi: Array
+    xr: Array, xi: Array, wr: Array, wi: Array, precision=None
 ) -> tuple[Array, Array]:
     """(..., f) @ (f, k) complex matmul as four real MXU matmuls."""
-    rr = jnp.matmul(xr, wr, precision=_PRECISION)
-    ii = jnp.matmul(xi, wi, precision=_PRECISION)
-    ri = jnp.matmul(xr, wi, precision=_PRECISION)
-    ir = jnp.matmul(xi, wr, precision=_PRECISION)
+    precision = resolve_precision(precision)
+    rr = jnp.matmul(xr, wr, precision=precision)
+    ii = jnp.matmul(xi, wi, precision=precision)
+    ri = jnp.matmul(xr, wi, precision=precision)
+    ir = jnp.matmul(xi, wr, precision=precision)
     return rr - ii, ri + ir
 
 
@@ -139,6 +158,7 @@ def exec_chain_xla(
     sign: int,
     bank_keys: dict,
     bank: dict[str, Array],
+    precision=None,
 ) -> tuple[Array, Array]:
     """Run a Stockham factor chain over the last axis (length prod(factors)).
 
@@ -149,7 +169,9 @@ def exec_chain_xla(
     n = math.prod(factors)
     if len(factors) == 1:
         wkey = bank_keys[("W", factors[0], sign)]
-        return complex_matmul_last(xr, xi, bank[wkey + "r"], bank[wkey + "i"])
+        return complex_matmul_last(
+            xr, xi, bank[wkey + "r"], bank[wkey + "i"], precision
+        )
 
     f, rest = factors[0], factors[1:]
     m = n // f
@@ -159,14 +181,16 @@ def exec_chain_xla(
     xi = xi.reshape(*lead, f, m).swapaxes(-2, -1)
     # factor DFT over n1
     wkey = bank_keys[("W", f, sign)]
-    ar, ai = complex_matmul_last(xr, xi, bank[wkey + "r"], bank[wkey + "i"])
+    ar, ai = complex_matmul_last(
+        xr, xi, bank[wkey + "r"], bank[wkey + "i"], precision
+    )
     # inter-factor twiddle, stored (m, f) = [n2, k1]
     tkey = bank_keys[("T", f, m, sign)]
     ar, ai = complex_mul(ar, ai, bank[tkey + "r"], bank[tkey + "i"])
     # recurse over the m axis: [n2, k1] -> [k1, n2]
     ar = ar.swapaxes(-2, -1)
     ai = ai.swapaxes(-2, -1)
-    cr, ci = exec_chain_xla(ar, ai, rest, sign, bank_keys, bank)
+    cr, ci = exec_chain_xla(ar, ai, rest, sign, bank_keys, bank, precision)
     # X[k1 + f*k2] = C[k1, k2] -> flatten k2-major
     cr = cr.swapaxes(-2, -1).reshape(*lead, n)
     ci = ci.swapaxes(-2, -1).reshape(*lead, n)
@@ -218,6 +242,7 @@ def exec_plan(
     bank_keys: dict,
     bank: dict[str, Array],
     leaf_fn: Optional[Callable] = None,
+    precision=None,
 ) -> tuple[Array, Array]:
     """Execute a plan tree over the last axis of (xr, xi).
 
@@ -230,7 +255,9 @@ def exec_plan(
             res = leaf_fn(xr, xi, plan, sign, bank)
             if res is not None:
                 return res
-        return exec_chain_xla(xr, xi, plan.factors, sign, bank_keys, bank)
+        return exec_chain_xla(
+            xr, xi, plan.factors, sign, bank_keys, bank, precision
+        )
 
     if plan.level == Level.GLOBAL:
         g1, g2 = plan.sub
@@ -238,24 +265,30 @@ def exec_plan(
         lead = xr.shape[:-1]
         xr = xr.reshape(*lead, f, m).swapaxes(-2, -1)
         xi = xi.reshape(*lead, f, m).swapaxes(-2, -1)
-        ar, ai = exec_plan(xr, xi, g1, sign, bank_keys, bank, leaf_fn)
+        ar, ai = exec_plan(
+            xr, xi, g1, sign, bank_keys, bank, leaf_fn, precision
+        )
         tkey = bank_keys[("T", f, m, sign)]
         ar, ai = complex_mul(ar, ai, bank[tkey + "r"], bank[tkey + "i"])
         ar = ar.swapaxes(-2, -1)
         ai = ai.swapaxes(-2, -1)
-        cr, ci = exec_plan(ar, ai, g2, sign, bank_keys, bank, leaf_fn)
+        cr, ci = exec_plan(
+            ar, ai, g2, sign, bank_keys, bank, leaf_fn, precision
+        )
         cr = cr.swapaxes(-2, -1).reshape(*lead, plan.n)
         ci = ci.swapaxes(-2, -1).reshape(*lead, plan.n)
         return cr, ci
 
     if plan.level == Level.BLUESTEIN:
-        return _exec_bluestein(xr, xi, plan, sign, bank_keys, bank, leaf_fn)
+        return _exec_bluestein(
+            xr, xi, plan, sign, bank_keys, bank, leaf_fn, precision
+        )
 
     raise AssertionError(f"unknown level {plan.level}")
 
 
 def _exec_bluestein(
-    xr, xi, plan: Plan1D, sign, bank_keys, bank, leaf_fn
+    xr, xi, plan: Plan1D, sign, bank_keys, bank, leaf_fn, precision=None
 ) -> tuple[Array, Array]:
     """Chirp-z transform: X[k] = c[k] · IDFT_M(DFT_M(x·c) · DFT_M(b))[k]
     with c[j] = exp(sign·πi·j²/n).  Capability beyond the reference, which
@@ -268,9 +301,13 @@ def _exec_bluestein(
     pad = [(0, 0)] * (ar.ndim - 1) + [(0, conv_n - n)]
     ar = jnp.pad(ar, pad)
     ai = jnp.pad(ai, pad)
-    fr, fi = exec_plan(ar, ai, plan.conv, -1, bank_keys, bank, leaf_fn)
+    fr, fi = exec_plan(
+        ar, ai, plan.conv, -1, bank_keys, bank, leaf_fn, precision
+    )
     fr, fi = complex_mul(fr, fi, bank[bkey + "br"], bank[bkey + "bi"])
-    yr, yi = exec_plan(fr, fi, plan.conv, +1, bank_keys, bank, leaf_fn)
+    yr, yi = exec_plan(
+        fr, fi, plan.conv, +1, bank_keys, bank, leaf_fn, precision
+    )
     inv = np.array(1.0 / conv_n, dtype=yr.dtype)
     yr = yr[..., :n] * inv
     yi = yi[..., :n] * inv

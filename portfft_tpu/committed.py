@@ -142,17 +142,19 @@ class CommittedDescriptor:
     # ------------------------------------------------------------------
 
     def _indices(self, direction: Direction) -> np.ndarray:
-        """(batch, *lengths) element indices into the flat domain buffer."""
+        """(batch, *domain_lengths) element indices into the flat domain
+        buffer."""
         d = self.descriptor
+        lengths = d.domain_lengths(direction)
         strides = d.get_strides(direction)
         distance = d.get_distance(direction)
         offset = d.get_offset(direction)
         batch = d.number_of_transforms
         idx = offset + distance * np.arange(batch).reshape(
-            (batch,) + (1,) * len(d.lengths)
+            (batch,) + (1,) * len(lengths)
         )
-        for axis, (length, stride) in enumerate(zip(d.lengths, strides)):
-            shape = [1] * (len(d.lengths) + 1)
+        for axis, (length, stride) in enumerate(zip(lengths, strides)):
+            shape = [1] * (len(lengths) + 1)
             shape[axis + 1] = length
             idx = idx + stride * np.arange(length).reshape(shape)
         return idx
@@ -160,16 +162,17 @@ class CommittedDescriptor:
     def _gather(self, flat, direction: Direction):
         """flat (count,) complex/real -> (batch, *lengths) canonical."""
         d = self.descriptor
+        lengths = d.domain_lengths(direction)
         layout = get_layout(d, direction)
         batch = d.number_of_transforms
-        n = d.get_flattened_length()
+        n = math.prod(lengths)
         offset = d.get_offset(direction)
         if layout == Layout.PACKED:
             block = jax.lax.dynamic_slice_in_dim(flat, offset, batch * n)
-            return block.reshape(batch, *d.lengths)
+            return block.reshape(batch, *lengths)
         if layout == Layout.BATCH_INTERLEAVED:
             block = jax.lax.dynamic_slice_in_dim(flat, offset, batch * n)
-            return block.reshape(n, batch).T.reshape(batch, *d.lengths)
+            return block.reshape(n, batch).T.reshape(batch, *lengths)
         idx = jnp.asarray(self._indices(direction))
         return jnp.take(flat, idx, axis=0)
 
@@ -178,7 +181,7 @@ class CommittedDescriptor:
         d = self.descriptor
         layout = get_layout(d, direction)
         batch = d.number_of_transforms
-        n = d.get_flattened_length()
+        n = math.prod(d.domain_lengths(direction))
         offset = d.get_offset(direction)
         if layout == Layout.PACKED:
             if offset == 0 and flat_out.shape[0] == batch * n:
@@ -249,6 +252,89 @@ class CommittedDescriptor:
             xr = xr * s
             xi = xi * s
         return xr, xi
+
+    # ------------------------------------------------------------------
+    # REAL domain core (R2C / C2R) — extension beyond the reference, which
+    # validates REAL as unsupported (descriptor_validation.hpp:268-270).
+    # Convention: forward = real (*lengths) -> conjugate-even half spectrum
+    # (last dim n//2+1); backward = the inverse (NumPy rfftn/irfftn).
+    # ------------------------------------------------------------------
+
+    def _core_real_forward(self, x, bank):
+        """(b, *lengths) real -> half-spectrum planes
+        (b, ..., n//2+1)."""
+        d = self.descriptor
+        sign = -1
+        leaf = self._leaf_fn(Direction.FORWARD)
+        n = d.lengths[-1]
+        h = n // 2
+        # last axis: full C2C with zero imaginary, keep bins 0..h
+        xr, xi = xla_fft.exec_plan(
+            x,
+            jnp.zeros_like(x),
+            self.plans[n],
+            sign,
+            self._bank_keys,
+            bank,
+            leaf,
+            self.matmul_precision,
+        )
+        xr = xr[..., : h + 1]
+        xi = xi[..., : h + 1]
+        # remaining axes: plain C2C on the half spectrum
+        ndims = len(d.lengths)
+        for axis in range(ndims - 2, -1, -1):
+            ln = d.lengths[axis]
+            if ln == 1:
+                continue
+            xr = jnp.moveaxis(xr, 1 + axis, -1)
+            xi = jnp.moveaxis(xi, 1 + axis, -1)
+            xr, xi = xla_fft.exec_plan(
+                xr, xi, self.plans[ln], sign, self._bank_keys, bank, leaf,
+                self.matmul_precision,
+            )
+            xr = jnp.moveaxis(xr, -1, 1 + axis)
+            xi = jnp.moveaxis(xi, -1, 1 + axis)
+        scale = d.forward_scale
+        if scale != 1.0:
+            s = np.array(scale, dtype=self.precision)
+            xr, xi = xr * s, xi * s
+        return xr, xi
+
+    def _core_real_backward(self, xr, xi, bank):
+        """Half-spectrum planes (b, ..., n//2+1) -> (b, *lengths) real."""
+        d = self.descriptor
+        sign = +1
+        leaf = self._leaf_fn(Direction.BACKWARD)
+        n = d.lengths[-1]
+        h = n // 2
+        # other axes first (inverse of the forward ordering)
+        ndims = len(d.lengths)
+        for axis in range(ndims - 2, -1, -1):
+            ln = d.lengths[axis]
+            if ln == 1:
+                continue
+            xr = jnp.moveaxis(xr, 1 + axis, -1)
+            xi = jnp.moveaxis(xi, 1 + axis, -1)
+            xr, xi = xla_fft.exec_plan(
+                xr, xi, self.plans[ln], sign, self._bank_keys, bank, leaf,
+                self.matmul_precision,
+            )
+            xr = jnp.moveaxis(xr, -1, 1 + axis)
+            xi = jnp.moveaxis(xi, -1, 1 + axis)
+        # Hermitian extension of the last axis: X[n-k] = conj(X[k])
+        tail_r = jnp.flip(xr[..., 1:h], axis=-1)
+        tail_i = -jnp.flip(xi[..., 1:h], axis=-1)
+        fr = jnp.concatenate([xr, tail_r], axis=-1)
+        fi = jnp.concatenate([xi, tail_i], axis=-1)
+        fr, fi = xla_fft.exec_plan(
+            fr, fi, self.plans[n], sign, self._bank_keys, bank, leaf,
+            self.matmul_precision,
+        )
+        scale = d.backward_scale
+        if scale != 1.0:
+            fr = fr * np.array(scale, dtype=self.precision)
+        return fr  # imaginary part is zero by symmetry
 
     # ------------------------------------------------------------------
     # Compiled entry points
@@ -328,6 +414,38 @@ class CommittedDescriptor:
 
         return fn
 
+    def _traced_real_forward(self, split: bool):
+        if split:
+
+            def fn(real_in, out_re, out_im, bank):
+                x = self._gather(real_in, Direction.FORWARD)
+                yr, yi = self._core_real_forward(x, bank)
+                return (
+                    self._scatter(yr, out_re, Direction.BACKWARD),
+                    self._scatter(yi, out_im, Direction.BACKWARD),
+                )
+
+        else:
+
+            def fn(real_in, raw_out, bank):
+                x = self._gather(real_in, Direction.FORWARD)
+                yr, yi = self._core_real_forward(x, bank)
+                out_re, out_im = self._deinterleave(raw_out)
+                o_re = self._scatter(yr, out_re, Direction.BACKWARD)
+                o_im = self._scatter(yi, out_im, Direction.BACKWARD)
+                return self._interleave(o_re, o_im)
+
+        return fn
+
+    def _traced_real_backward(self, split: bool):
+        def fn(in_re, in_im, real_out, bank):
+            xr = self._gather(in_re, Direction.BACKWARD)
+            xi = self._gather(in_im, Direction.BACKWARD)
+            y = self._core_real_backward(xr, xi, bank)
+            return self._scatter(y, real_out, Direction.FORWARD)
+
+        return fn
+
     def _get_compiled(self, key, builder, donate):
         if key not in self._compiled:
             self._compiled[key] = jax.jit(builder(), donate_argnums=donate)
@@ -340,6 +458,10 @@ class CommittedDescriptor:
             raise InvalidConfiguration(
                 "out= must not be given for an IN_PLACE committed descriptor"
             )
+        from .enums import Domain
+
+        if d.domain == Domain.REAL:
+            return self._compute_real(direction, x, x_imag, out, out_imag)
         if d.complex_storage == ComplexStorage.SPLIT_COMPLEX:
             if x_imag is None:
                 raise InvalidConfiguration(
@@ -352,6 +474,95 @@ class CommittedDescriptor:
                 "INTERLEAVED_COMPLEX storage takes a single complex buffer"
             )
         return self._compute_interleaved(direction, x, out)
+
+    def _compute_real(self, direction, x, x_imag, out, out_imag):
+        """R2C forward / C2R backward dispatch (out-of-place only).
+
+        Forward: ``x`` is a real buffer; the result is the half spectrum in
+        the descriptor's complex storage (complex array for INTERLEAVED
+        given numpy input, raw float pairs for jax input; (re, im) planes
+        for SPLIT).  Backward: the reverse."""
+        d = self.descriptor
+        split = d.complex_storage == ComplexStorage.SPLIT_COMPLEX
+        real_count = d.get_input_count(Direction.FORWARD)
+        cplx_count = d.get_input_count(Direction.BACKWARD)
+
+        if direction == Direction.FORWARD:
+            if x_imag is not None:
+                raise InvalidConfiguration(
+                    "REAL domain forward input is a single real buffer"
+                )
+            real_in = jnp.asarray(x).reshape(-1)
+            if jnp.iscomplexobj(real_in):
+                raise InvalidConfiguration(
+                    "REAL domain forward input must be a real buffer"
+                )
+            if real_in.shape[0] < real_count:
+                raise InvalidConfiguration(
+                    f"real input buffer needs {real_count} elements"
+                )
+            if split:
+                if isinstance(out, tuple) and out_imag is None:
+                    out, out_imag = out
+                o_re = (
+                    jnp.asarray(out).reshape(-1)
+                    if out is not None
+                    else jnp.zeros(cplx_count, dtype=self.precision)
+                )
+                o_im = (
+                    jnp.asarray(out_imag).reshape(-1)
+                    if out_imag is not None
+                    else jnp.zeros(cplx_count, dtype=self.precision)
+                )
+                key = ("r2c_split", real_in.shape, o_re.shape)
+                fn = self._get_compiled(
+                    key, lambda: self._traced_real_forward(True), donate=()
+                )
+                return fn(real_in, o_re, o_im, self._bank_arrays)
+            # interleaved
+            was_numpy = isinstance(x, np.ndarray)
+            if out is not None:
+                raw_out, _ = self._to_raw(out)
+            else:
+                raw_out = jnp.zeros(2 * cplx_count, dtype=self.precision)
+            key = ("r2c_raw", real_in.shape, raw_out.shape)
+            fn = self._get_compiled(
+                key, lambda: self._traced_real_forward(False), donate=()
+            )
+            result = fn(real_in, raw_out, self._bank_arrays)
+            if was_numpy:
+                return np.asarray(result).view(self._complex_dtype())
+            return result
+
+        # BACKWARD: complex half-spectrum in, real out
+        if split:
+            if x_imag is None:
+                raise InvalidConfiguration(
+                    "SPLIT_COMPLEX backward input needs re and im buffers"
+                )
+            in_re = jnp.asarray(x).reshape(-1)
+            in_im = jnp.asarray(x_imag).reshape(-1)
+        else:
+            if x_imag is not None:
+                raise InvalidConfiguration(
+                    "INTERLEAVED_COMPLEX input is a single buffer"
+                )
+            raw_in, _ = self._to_raw(x)
+            in_re, in_im = self._deinterleave(raw_in)
+        if in_re.shape[0] < cplx_count:
+            raise InvalidConfiguration(
+                f"half-spectrum input needs {cplx_count} complex elements"
+            )
+        real_out = (
+            jnp.asarray(out).reshape(-1)
+            if out is not None
+            else jnp.zeros(real_count, dtype=self.precision)
+        )
+        key = ("c2r", in_re.shape, real_out.shape, split)
+        fn = self._get_compiled(
+            key, lambda: self._traced_real_backward(split), donate=()
+        )
+        return fn(in_re, in_im, real_out, self._bank_arrays)
 
     def _complex_dtype(self):
         return np.dtype(

@@ -103,15 +103,15 @@ class Descriptor:
             self.forward_strides = default_strides(self.lengths)
         else:
             self.forward_strides = [int(s) for s in self.forward_strides]
+        bwd_lengths = self.domain_lengths(Direction.BACKWARD)
         if self.backward_strides is None:
-            self.backward_strides = default_strides(self.lengths)
+            self.backward_strides = default_strides(bwd_lengths)
         else:
             self.backward_strides = [int(s) for s in self.backward_strides]
-        total = flattened_length(self.lengths)
         if self.forward_distance is None:
-            self.forward_distance = total
+            self.forward_distance = flattened_length(self.lengths)
         if self.backward_distance is None:
-            self.backward_distance = total
+            self.backward_distance = flattened_length(bwd_lengths)
         self.forward_distance = int(self.forward_distance)
         self.backward_distance = int(self.backward_distance)
         self.forward_offset = int(self.forward_offset)
@@ -124,6 +124,18 @@ class Descriptor:
         """Flattened single-batch length, ignoring strides
         (descriptor.hpp:161-163)."""
         return flattened_length(self.lengths)
+
+    def domain_lengths(self, direction: Direction) -> list[int]:
+        """Logical element grid of the given domain's buffers.
+
+        COMPLEX: ``lengths`` in both domains.  REAL (extension — the
+        reference validates this unsupported): the forward domain holds real
+        elements of shape ``lengths``; the backward domain holds the
+        conjugate-even half spectrum, last dimension ``n//2 + 1`` complex
+        elements (FFTW/NumPy rfft convention)."""
+        if self.domain == Domain.REAL and direction == Direction.BACKWARD:
+            return list(self.lengths[:-1]) + [self.lengths[-1] // 2 + 1]
+        return list(self.lengths)
 
     def get_strides(self, direction: Direction) -> list[int]:
         return list(
@@ -156,19 +168,21 @@ class Descriptor:
     # -- buffer-count math (reference descriptor.hpp:166-270) ---------------
 
     def _buffer_count(
-        self, strides: Sequence[int], distance: int, offset: int
+        self, lengths, strides: Sequence[int], distance: int, offset: int
     ) -> int:
         """Number of elements needed for a buffer with these strides
         (descriptor.hpp:262-270): offset + last accessed index + 1."""
         last = (self.number_of_transforms - 1) * distance
-        for length, stride in zip(self.lengths, strides):
+        for length, stride in zip(lengths, strides):
             last += (length - 1) * stride
         return offset + last + 1
 
     def get_input_count(self, direction: Direction) -> int:
         """Required element count of the input buffer for ``direction``
-        (descriptor.hpp:172-174).  Counts complex elements."""
+        (descriptor.hpp:172-174).  Complex elements for complex-domain
+        buffers, real elements for the real domain of an R2C transform."""
         return self._buffer_count(
+            self.domain_lengths(direction),
             self.get_strides(direction),
             self.get_distance(direction),
             self.get_offset(direction),

@@ -2,17 +2,32 @@
 
 The TPU analogue of the reference's specialized per-level device kernels
 (workitem_dispatcher.hpp:99-350, subgroup_dispatcher.hpp:85-664,
-workgroup_dispatcher.hpp:94-281): one Pallas kernel runs the *entire*
-multi-factor Stockham chain of a leaf plan inside VMEM, so each element is
-read from HBM once and written once, with all factor matmuls (MXU), twiddle
-multiplies (VPU) and inter-stage transposes staying on-chip — where the
-pure-XLA chain would materialize every stage in HBM.
+workgroup_dispatcher.hpp:94-281): one Pallas kernel runs the whole transform
+of a leaf plan inside VMEM, so each element is read from HBM once and
+written once, with factor matmuls on the MXU, twiddle multiplies on the VPU
+and the inter-stage transpose staying on-chip — where the pure-XLA chain
+materializes every stage in HBM.
 
-The kernel body executes the same recursion as the XLA executor
-(ops/xla_fft.py exec_chain_xla) on in-VMEM values; the factor DFT matrices
-and inter-factor twiddles enter as pallas inputs whose grid index is
-constant, so they are DMA'd into VMEM once and stay resident across the
-batch grid (the analogue of the reference's twiddle USM buffers).
+Mosaic (the TPU kernel compiler) only lowers a restricted op set; the
+kernels here are built exclusively from empirically-verified primitives:
+2D/3D last-two-dims transposes, 3D dot_general contracting the last axis,
+elementwise ops, and reshapes whose lane dimension is a multiple of 128.
+That constrains the fused form to the two-stage split n = a·128 (planner
+emits factors [a, 128] whenever 128 | n), with the digit-reversal flatten
+expressed as a 3D output block instead of an in-kernel reshape:
+
+    x  (bt, a, 128)            reshape, lane = 128
+    xT (bt, 128, a)            swapaxes(-2, -1)
+    A  = xT @ W_a              MXU, contract a
+    A *= T[n2, k1]             twiddle, bank layout (128, a)
+    B  (bt, a, 128)            swapaxes
+    C  = B @ W_128             MXU
+    out(bt, 128, a) = C^T      block written [k2, k1] = natural order
+
+DFT matrices are symmetric (W = W^T), so the contraction never needs a
+transposed table.  Tables enter as pallas inputs with constant grid index —
+DMA'd to VMEM once, resident across the batch grid (the analogue of the
+reference's twiddle USM buffers).
 """
 
 from __future__ import annotations
@@ -48,17 +63,17 @@ def _leaf_table_keys(plan: Plan1D, sign: int, bank_keys: dict) -> list[str]:
     return names
 
 
-def _chain_kernel(factors, sign, bank_keys, table_names, n_tables, precision):
-    """Build the kernel body: whole factor chain on one (bt, n) block."""
+@functools.lru_cache(maxsize=None)
+def _interpret_mode() -> bool:
+    return jax.default_backend() != "tpu"
 
-    def kernel(xr_ref, xi_ref, *rest):
-        table_refs = rest[:n_tables]
-        or_ref, oi_ref = rest[n_tables], rest[n_tables + 1]
-        bank = {
-            name: ref[...] for name, ref in zip(table_names, table_refs)
-        }
-        yr, yi = xla_fft.exec_chain_xla(
-            xr_ref[...], xi_ref[...], factors, sign, bank_keys, bank, precision
+
+def _direct_kernel(precision):
+    """n ≤ 128: one complex matmul over the last axis."""
+
+    def kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref):
+        yr, yi = xla_fft.complex_matmul_last(
+            xr_ref[...], xi_ref[...], wr_ref[...], wi_ref[...], precision
         )
         or_ref[...] = yr
         oi_ref[...] = yi
@@ -66,9 +81,50 @@ def _chain_kernel(factors, sign, bank_keys, table_names, n_tables, precision):
     return kernel
 
 
-@functools.lru_cache(maxsize=None)
-def _interpret_mode() -> bool:
-    return jax.default_backend() != "tpu"
+def _fused2_kernel(a: int, precision):
+    """n = a·128 two-stage Stockham, Mosaic-safe op set only."""
+
+    def kernel(
+        xr_ref, xi_ref, war, wai, tr, ti, wbr, wbi, or_ref, oi_ref
+    ):
+        bt = xr_ref.shape[0]
+        n = xr_ref.shape[1]
+        xr = xr_ref[...].reshape(bt, a, 128)
+        xi = xi_ref[...].reshape(bt, a, 128)
+        # [n1, n2] -> [n2, n1]
+        xr = jnp.swapaxes(xr, 1, 2)
+        xi = jnp.swapaxes(xi, 1, 2)
+        # factor-a DFT (contract last axis)
+        ar, ai = xla_fft.complex_matmul_last(
+            xr, xi, war[...], wai[...], precision
+        )
+        # inter-factor twiddle, bank layout (m=128, f=a) = [n2, k1]
+        ar, ai = xla_fft.complex_mul(ar, ai, tr[...], ti[...])
+        # [n2, k1] -> [k1, n2]
+        ar = jnp.swapaxes(ar, 1, 2)
+        ai = jnp.swapaxes(ai, 1, 2)
+        # 128-point DFT
+        cr, ci = xla_fft.complex_matmul_last(
+            ar, ai, wbr[...], wbi[...], precision
+        )
+        # X[k1 + a·k2] = C[k1, k2]: write the (bt, 128, a) block = [k2, k1]
+        or_ref[...] = jnp.swapaxes(cr, 1, 2)
+        oi_ref[...] = jnp.swapaxes(ci, 1, 2)
+
+    return kernel
+
+
+def _pick_tile(b: int, plan: Plan1D, config) -> int:
+    bt = min(plan.batch_tile, config.batch_tile)
+    while bt > config.sublane and b % bt:
+        bt //= 2
+    return bt
+
+
+def _const_spec(t):
+    return pl.BlockSpec(
+        t.shape, (lambda *_: (0,) * t.ndim), memory_space=pltpu.VMEM
+    )
 
 
 def fused_chain(
@@ -77,59 +133,98 @@ def fused_chain(
     """Run a DIRECT/FUSED leaf as one Pallas kernel over the batch grid.
 
     xr/xi: (..., n) planes.  Returns transformed planes of the same shape.
+    Returns None when the plan's shape has no Mosaic-safe kernel (caller
+    falls back to the XLA chain).
     """
     n = plan.n
+    factors = plan.factors
+    two_stage = len(factors) == 2 and factors[1] == 128
+    if not (len(factors) == 1 or two_stage) and not _interpret_mode():
+        return None
+
     lead = xr.shape[:-1]
     b = math.prod(lead) if lead else 1
     xr2 = xr.reshape(b, n)
     xi2 = xi.reshape(b, n)
 
-    bt = min(plan.batch_tile, config.batch_tile)
-    # Shrink the tile rather than padding when the batch is small.
-    while bt > config.sublane and b % bt:
-        bt //= 2
+    if two_stage:
+        # Fixed 6-slot layout [Wa_r, Wa_i, T_r, T_i, W128_r, W128_i];
+        # when a == 128 the two W tables alias the same bank array.
+        a0 = factors[0]
+        wa = bank_keys[("W", a0, sign)]
+        tk = bank_keys[("T", a0, 128, sign)]
+        wb = bank_keys[("W", 128, sign)]
+        table_names = [
+            wa + "r", wa + "i", tk + "r", tk + "i", wb + "r", wb + "i"
+        ]
+    else:
+        table_names = _leaf_table_keys(plan, sign, bank_keys)
+    tables = [bank[name] for name in table_names]
+    prec = xla_fft.resolve_precision(precision)
+
+    bt = _pick_tile(b, plan, config)
+    if two_stage:
+        # The digit-reversal output block (bt, 128, a) is lane-padded to
+        # (bt, 128, 128) in VMEM regardless of a; budget for it (×2 planes,
+        # ×2 pipeline buffers) plus inputs and intermediates.
+        table_bytes = sum(4 * t.size for t in tables)
+
+        def f2_bytes(bt_):
+            io = 2 * 2 * bt_ * n * 4
+            out_padded = 2 * 2 * bt_ * 128 * 128 * 4
+            scratch = 2 * 2 * bt_ * 128 * 128 * 4
+            return io + out_padded + scratch + table_bytes
+
+        while bt > config.sublane and f2_bytes(bt) > config.vmem_budget:
+            bt //= 2
     pad = (-b) % bt
     if pad:
         xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
     bp = b + pad
 
-    table_names = _leaf_table_keys(plan, sign, bank_keys)
-    tables = [bank[name] for name in table_names]
-
     data_spec = pl.BlockSpec(
         (bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    table_specs = [
-        pl.BlockSpec(
-            t.shape, (lambda *_: (0,) * t.ndim), memory_space=pltpu.VMEM
-        )
-        for t in tables
-    ]
-
-    kernel = _chain_kernel(
-        tuple(plan.factors),
-        sign,
-        bank_keys,
-        tuple(table_names),
-        len(tables),
-        xla_fft.resolve_precision(precision),
+    flops = 8 * bp * n * sum(factors)
+    bytes_accessed = 2 * 2 * bp * n * xr2.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
     )
 
-    flops = 8 * bp * n * sum(plan.factors)
-    bytes_accessed = 2 * 2 * bp * n * xr2.dtype.itemsize
-
-    yr, yi = pl.pallas_call(
-        kernel,
-        grid=(bp // bt,),
-        in_specs=[data_spec, data_spec] + table_specs,
-        out_specs=[data_spec, data_spec],
-        out_shape=[jax.ShapeDtypeStruct((bp, n), xr2.dtype)] * 2,
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
-        ),
-        interpret=_interpret_mode(),
-    )(xr2, xi2, *tables)
+    if len(factors) == 1:
+        yr, yi = pl.pallas_call(
+            _direct_kernel(prec),
+            grid=(bp // bt,),
+            in_specs=[data_spec, data_spec] + [_const_spec(t) for t in tables],
+            out_specs=[data_spec, data_spec],
+            out_shape=[jax.ShapeDtypeStruct((bp, n), xr2.dtype)] * 2,
+            cost_estimate=cost,
+            interpret=_interpret_mode(),
+        )(xr2, xi2, *tables)
+    elif two_stage:
+        a = factors[0]
+        out_spec = pl.BlockSpec(
+            (bt, 128, a), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        yr, yi = pl.pallas_call(
+            _fused2_kernel(a, prec),
+            grid=(bp // bt,),
+            in_specs=[data_spec, data_spec] + [_const_spec(t) for t in tables],
+            out_specs=[out_spec, out_spec],
+            out_shape=[jax.ShapeDtypeStruct((bp, 128, a), xr2.dtype)] * 2,
+            cost_estimate=cost,
+            interpret=_interpret_mode(),
+        )(xr2, xi2, *tables)
+        # (bp, 128, a) row-major == flat index k2·a + k1 == the transform
+        # index k1 + a·k2: the flatten is a free bitcast.
+        yr = yr.reshape(bp, n)
+        yi = yi.reshape(bp, n)
+    else:  # interpreter-only generic chain (correctness testing off-TPU)
+        yr, yi = _generic_chain_call(
+            xr2, xi2, plan, sign, bank_keys, tables, table_names, bt, cost,
+            prec,
+        )
 
     if pad:
         yr = yr[:b]
@@ -137,13 +232,47 @@ def fused_chain(
     return yr.reshape(*lead, n), yi.reshape(*lead, n)
 
 
+def _generic_chain_call(
+    xr2, xi2, plan, sign, bank_keys, tables, table_names, bt, cost, prec
+):
+    """Arbitrary factor chains — interpreter mode only (Mosaic rejects the
+    small-lane reshapes the generic recursion produces)."""
+    bp, n = xr2.shape
+
+    def kernel(xr_ref, xi_ref, *rest):
+        table_refs = rest[: len(tables)]
+        or_ref, oi_ref = rest[len(tables)], rest[len(tables) + 1]
+        kbank = {
+            name: ref[...] for name, ref in zip(table_names, table_refs)
+        }
+        yr, yi = xla_fft.exec_chain_xla(
+            xr_ref[...], xi_ref[...], plan.factors, sign, bank_keys, kbank,
+            prec,
+        )
+        or_ref[...] = yr
+        oi_ref[...] = yi
+
+    data_spec = pl.BlockSpec(
+        (bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bp // bt,),
+        in_specs=[data_spec, data_spec] + [_const_spec(t) for t in tables],
+        out_specs=[data_spec, data_spec],
+        out_shape=[jax.ShapeDtypeStruct((bp, n), xr2.dtype)] * 2,
+        cost_estimate=cost,
+        interpret=True,
+    )(xr2, xi2, *tables)
+
+
 def leaf_dispatch(
     xr, xi, plan, sign, bank, *, bank_keys, config, precision=None
 ):
     """Executor hook: run DIRECT/FUSED leaves as Pallas kernels.
 
-    Returns None to fall back to the XLA chain (e.g. fp64, which has no
-    Mosaic support)."""
+    Returns None to fall back to the XLA chain (fp64, or factor shapes
+    without a Mosaic-safe kernel)."""
     if plan.level not in (Level.DIRECT, Level.FUSED):
         return None
     if xr.dtype != jnp.float32:

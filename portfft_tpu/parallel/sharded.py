@@ -147,7 +147,6 @@ class DistributedFFT:
         g1, g2, p = self.g1, self.g2, self.num_shards
         seq = self.seq_axis
         keys = self._bank_keys
-        tkey = keys[("T", g1, g2, sign)]
 
         def fn(xr, xi, tw_r, tw_i, bank):
             # local (Bl, n/p) = (Bl, g1/p, g2) slab of the (g1, g2) view

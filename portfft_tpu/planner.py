@@ -208,6 +208,7 @@ def plan_1d(n: int, cfg: DeviceConfig, itemsize: int) -> Plan1D:
     """Plan one transform dimension (reference prepare_implementation,
     committed_descriptor_impl.hpp:211-313)."""
     if n <= cfg.direct_threshold:
+        # One DFT-matrix matmul — primality is irrelevant on the MXU.
         return Plan1D(n=n, level=Level.DIRECT, factors=[n], batch_tile=cfg.batch_tile)
 
     chain = factor_chain(n, cfg.max_factor)
@@ -231,6 +232,11 @@ def plan_1d(n: int, cfg: DeviceConfig, itemsize: int) -> Plan1D:
         )
 
     if _fused_capable(n, chain, cfg, itemsize):
+        # Prefer the Mosaic-native two-stage shape [a, 128]: every kernel op
+        # is then a 3D last-axis matmul or last-two-dims transpose with the
+        # lane dimension a multiple of 128 (see ops/pallas_fft.py).
+        if n % cfg.lane == 0 and 3 <= n // cfg.lane <= cfg.max_factor:
+            chain = [n // cfg.lane, cfg.lane]
         return Plan1D(
             n=n,
             level=Level.FUSED,

@@ -76,7 +76,7 @@ def classify_layout(
 def get_layout(descriptor, direction: Direction) -> Layout:
     """Layout of the given domain of a descriptor."""
     return classify_layout(
-        descriptor.lengths,
+        descriptor.domain_lengths(direction),
         descriptor.get_strides(direction),
         descriptor.get_distance(direction),
         descriptor.number_of_transforms,

@@ -147,6 +147,8 @@ def _strides_distance_check(
 
 def _validate_strides_distance(desc) -> None:
     """Reference descriptor_validation.hpp:237-253."""
+    fwd_lengths = desc.domain_lengths(Direction.FORWARD)
+    bwd_lengths = desc.domain_lengths(Direction.BACKWARD)
     if desc.placement == Placement.IN_PLACE:
         if list(desc.forward_strides) != list(desc.backward_strides):
             raise InvalidConfiguration(
@@ -159,7 +161,7 @@ def _validate_strides_distance(desc) -> None:
                 "in-place configurations"
             )
         _strides_distance_check(
-            desc.lengths,
+            fwd_lengths,
             desc.number_of_transforms,
             desc.forward_strides,
             desc.forward_distance,
@@ -167,14 +169,14 @@ def _validate_strides_distance(desc) -> None:
         )
     else:
         _strides_distance_check(
-            desc.lengths,
+            fwd_lengths,
             desc.number_of_transforms,
             desc.forward_strides,
             desc.forward_distance,
             "forward",
         )
         _strides_distance_check(
-            desc.lengths,
+            bwd_lengths,
             desc.number_of_transforms,
             desc.backward_strides,
             desc.backward_distance,
@@ -202,9 +204,22 @@ def _validate_layout(desc) -> None:
 
 def validate_descriptor(desc) -> None:
     """Validate as much as possible at commit time
-    (reference descriptor_validation.hpp:264-281)."""
+    (reference descriptor_validation.hpp:264-281).
+
+    REAL-domain transforms are supported here (an extension — the reference
+    throws, descriptor_validation.hpp:268-270) with two restrictions:
+    out-of-place only, and even last dimension.
+    """
     if desc.domain == Domain.REAL:
-        raise UnsupportedConfiguration("REAL domain is unsupported")
+        if desc.placement == Placement.IN_PLACE:
+            raise UnsupportedConfiguration(
+                "REAL domain transforms are out-of-place only (the real and "
+                "half-spectrum buffers have different element counts)"
+            )
+        if desc.lengths and desc.lengths[-1] % 2:
+            raise UnsupportedConfiguration(
+                "REAL domain transforms require an even last dimension"
+            )
 
     if desc.number_of_transforms <= 0:
         raise InvalidConfiguration(

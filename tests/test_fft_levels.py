@@ -32,7 +32,9 @@ B = Direction.BACKWARD
         (2, Level.DIRECT),
         (27, Level.DIRECT),
         (128, Level.DIRECT),
-        (256, Level.FUSED),
+        (251, Level.DIRECT),  # prime <= direct threshold: one matmul
+        (256, Level.DIRECT),
+        (512, Level.FUSED),
         (4096, Level.FUSED),
         (8192, Level.FUSED),
         (131072, Level.GLOBAL),

@@ -1,0 +1,141 @@
+"""REAL domain (R2C / C2R) — extension beyond the reference (which throws;
+its bench set lists a real-domain config set as planned,
+reference_dft_set.hpp:104-113).  Verified against np.fft.rfftn/irfftn."""
+
+import numpy as np
+import pytest
+
+from portfft_tpu import (
+    ComplexStorage,
+    Descriptor,
+    Direction,
+    Domain,
+    InvalidConfiguration,
+    Placement,
+    UnsupportedConfiguration,
+)
+
+
+def make(n=None, lengths=None, **kw):
+    return Descriptor(
+        lengths=lengths or [n], domain=Domain.REAL, **kw
+    )
+
+
+def gen_real(desc, seed=0):
+    rng = np.random.Generator(np.random.SFC64(seed))
+    shape = (desc.number_of_transforms, *desc.lengths)
+    return rng.uniform(-1.0, 1.0, shape).astype(desc.precision)
+
+
+@pytest.mark.parametrize("n", [8, 64, 256, 4096])
+def test_r2c_forward(n):
+    desc = make(n, number_of_transforms=3)
+    plan = desc.commit()
+    x = gen_real(desc)
+    y = np.asarray(plan.compute_forward(x.reshape(-1)))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    got = y.reshape(3, n // 2 + 1)
+    tol = 1e-4 * np.sqrt(n)
+    assert np.allclose(got, ref, atol=tol), np.abs(got - ref).max()
+
+
+@pytest.mark.parametrize("n", [8, 64, 1024])
+def test_c2r_backward(n):
+    desc = make(n, number_of_transforms=2)
+    plan = desc.commit()
+    x = gen_real(desc, 1)
+    spec = np.fft.rfft(x, axis=-1).astype(np.complex64)
+    y = np.asarray(plan.compute_backward(spec.reshape(-1)))
+    # unnormalized inverse: compute_backward == irfft * n
+    assert np.allclose(y.reshape(2, n) / n, x, atol=1e-4)
+
+
+def test_r2c_round_trip():
+    n = 512
+    desc = make(n, number_of_transforms=4)
+    plan = desc.commit()
+    x = gen_real(desc, 2)
+    spec = plan.compute_forward(x.reshape(-1))
+    back = np.asarray(plan.compute_backward(np.asarray(spec)))
+    assert np.allclose(back.reshape(4, n) / n, x, atol=1e-4)
+
+
+def test_r2c_split_storage():
+    n = 128
+    desc = make(
+        n,
+        number_of_transforms=3,
+        complex_storage=ComplexStorage.SPLIT_COMPLEX,
+    )
+    plan = desc.commit()
+    x = gen_real(desc, 3)
+    yr, yi = plan.compute_forward(x.reshape(-1))
+    ref = np.fft.rfft(x, axis=-1)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.allclose(got.reshape(3, n // 2 + 1), ref, atol=1e-3)
+    back = np.asarray(plan.compute_backward(yr, yi))
+    assert np.allclose(back.reshape(3, n) / n, x, atol=1e-4)
+
+
+def test_r2c_2d():
+    desc = make(lengths=[16, 64], number_of_transforms=2)
+    plan = desc.commit()
+    x = gen_real(desc, 4)
+    y = np.asarray(plan.compute_forward(x.reshape(-1)))
+    ref = np.fft.rfftn(x.astype(np.float64), axes=(1, 2))
+    assert np.allclose(y.reshape(2, 16, 33), ref, atol=1e-3)
+    back = np.asarray(plan.compute_backward(np.asarray(y)))
+    assert np.allclose(back.reshape(2, 16, 64) / (16 * 64), x, atol=1e-4)
+
+
+def test_r2c_scales():
+    n = 64
+    desc = make(n, forward_scale=2.0, number_of_transforms=1)
+    plan = desc.commit()
+    x = gen_real(desc, 5)
+    y = np.asarray(plan.compute_forward(x.reshape(-1)))
+    ref = 2.0 * np.fft.rfft(x, axis=-1)
+    assert np.allclose(y.reshape(1, -1), ref, atol=1e-3)
+
+
+def test_r2c_strided_real_side():
+    n = 32
+    desc = make(
+        n,
+        number_of_transforms=3,
+        forward_strides=[2],
+        forward_distance=2 * n,
+    )
+    plan = desc.commit()
+    x = gen_real(desc, 6)
+    buf = np.zeros(desc.get_input_count(Direction.FORWARD), np.float32)
+    idx = 2 * np.arange(n)[None, :] + 2 * n * np.arange(3)[:, None]
+    buf[idx] = x
+    y = np.asarray(plan.compute_forward(buf))
+    ref = np.fft.rfft(x, axis=-1)
+    assert np.allclose(y.reshape(3, -1), ref, atol=1e-3)
+
+
+def test_real_buffer_counts():
+    d = make(64, number_of_transforms=2)
+    assert d.get_input_count(Direction.FORWARD) == 128       # real elems
+    assert d.get_output_count(Direction.FORWARD) == 66       # complex elems
+    assert d.domain_lengths(Direction.BACKWARD) == [33]
+    assert d.backward_distance == 33
+
+
+def test_real_inplace_unsupported():
+    with pytest.raises(UnsupportedConfiguration):
+        make(64, placement=Placement.IN_PLACE).commit()
+
+
+def test_real_odd_length_unsupported():
+    with pytest.raises(UnsupportedConfiguration):
+        make(63).commit()
+
+
+def test_real_complex_input_rejected():
+    plan = make(64).commit()
+    with pytest.raises(InvalidConfiguration):
+        plan.compute_forward(np.zeros(64, np.complex64))

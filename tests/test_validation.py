@@ -17,9 +17,14 @@ def commit(**kw):
     return Descriptor(**kw).commit()
 
 
-def test_real_domain_unsupported():
+def test_real_domain_restrictions():
+    # REAL domain is supported here (extension beyond the reference, which
+    # throws unconditionally) — but only out-of-place with even last dim.
+    commit(lengths=[8], domain=Domain.REAL)
     with pytest.raises(UnsupportedConfiguration):
-        commit(lengths=[8], domain=Domain.REAL)
+        commit(lengths=[8], domain=Domain.REAL, placement=Placement.IN_PLACE)
+    with pytest.raises(UnsupportedConfiguration):
+        commit(lengths=[9], domain=Domain.REAL)
 
 
 def test_zero_batch():

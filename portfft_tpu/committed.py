@@ -98,6 +98,42 @@ class CommittedDescriptor:
         for sign in (-1, +1):
             for plan in self.plans.values():
                 xla_fft.collect_bank_keys(plan, sign, self._bank, self._bank_keys)
+        # Raw fast path: 1D DIRECT-level PACKED interleaved transforms run as
+        # a single interleaved block-diagonal matmul kernel (scale folded
+        # into the table) — see ops/pallas_fft.py direct_raw_call.
+        self._raw_fast: dict = {}
+        d = descriptor
+        if (
+            use_pallas
+            and len(d.lengths) == 1
+            and self.precision == np.float32
+            and self.plans[d.lengths[0]].level == Level.DIRECT
+        ):
+            from .ops import pallas_fft
+            from .enums import Domain
+
+            n0 = d.lengths[0]
+            total = d.number_of_transforms * n0
+            if d.domain == Domain.COMPLEX:
+                for direction, sign in (
+                    (Direction.FORWARD, -1),
+                    (Direction.BACKWARD, +1),
+                ):
+                    out_dir = _inv(direction)
+                    packed = (
+                        get_layout(d, direction) == Layout.PACKED
+                        and get_layout(d, out_dir) == Layout.PACKED
+                        and d.get_offset(direction) == 0
+                        and d.get_offset(out_dir) == 0
+                    )
+                    sup = pallas_fft.direct_raw_supported(n0, total)
+                    if packed and sup:
+                        chunk, c = sup
+                        key = self._bank.vmat(
+                            n0, sign, chunk, float(d.get_scale(direction))
+                        )
+                        self._raw_fast[direction] = (key, chunk, c, total)
+
         self._bank_arrays = self._bank.device_arrays(device)
 
         self._compiled: dict = {}
@@ -344,10 +380,17 @@ class CommittedDescriptor:
     def _deinterleave(raw):
         """(2M,) interleaved scalars -> two (M,) planes, TPU-layout-safe.
 
-        A naive ``reshape(M, 2)`` pads the 2-wide lane dimension to 128 on
-        TPU (64× memory blowup); instead view the buffer as (X, 256) rows —
-        128 complex pairs per row — and take strided lane slices."""
+        On TPU, large aligned buffers go through the Pallas transpose-based
+        kernel (ops/pallas_io.py).  The XLA fallback views the buffer as
+        (X, 256) rows — 128 complex pairs each — and takes strided lane
+        slices; a naive ``reshape(M, 2)`` would pad the 2-wide lane
+        dimension to 128 (64× memory blowup)."""
         m = raw.shape[0] // 2
+        if jax.default_backend() == "tpu":
+            from .ops import pallas_io
+
+            if pallas_io.supported(m):
+                return pallas_io.deinterleave(raw)
         pad = (-m) % 128
         if pad:
             raw = jnp.pad(raw, (0, 2 * pad))
@@ -361,9 +404,17 @@ class CommittedDescriptor:
 
     @staticmethod
     def _interleave(re, im):
-        """Two (M,) planes -> (2M,) interleaved, via interior-padded adds
-        (lane-interleave without a 2-wide intermediate)."""
+        """Two (M,) planes -> (2M,) interleaved.
+
+        TPU: Pallas kernel for large aligned sizes; interior-padded
+        ``lax.pad`` adds otherwise (which the TPU compiler cannot handle at
+        large sizes — hence the kernel)."""
         m = re.shape[0]
+        if jax.default_backend() == "tpu":
+            from .ops import pallas_io
+
+            if pallas_io.supported(m):
+                return pallas_io.interleave(re, im)
         pad = (-m) % 128
         if pad:
             re = jnp.pad(re, (0, pad))
@@ -611,6 +662,34 @@ class CommittedDescriptor:
                 f"input buffer has {flat_in.shape[0] // 2} complex elements, "
                 f"needs {need_in}"
             )
+
+        raw_fast = self._raw_fast.get(direction)
+        if raw_fast is not None:
+            key, chunk, c, total = raw_fast
+            if flat_in.shape[0] == 2 * total and out is None:
+                from .ops import pallas_fft
+
+                def build():
+                    def fn(raw, bank):
+                        return pallas_fft.direct_raw_call(
+                            raw,
+                            d.lengths[0],
+                            bank[key + "v"],
+                            chunk,
+                            c,
+                            self.config,
+                            self.matmul_precision,
+                        )
+
+                    return fn
+
+                donate = (0,) if d.placement == Placement.IN_PLACE else ()
+                cfn = self._get_compiled(
+                    ("rawfast", direction, flat_in.shape),
+                    build,
+                    donate=donate if jax.default_backend() != "cpu" else (),
+                )
+                return self._from_raw(cfn(flat_in, self._bank_arrays), kind)
 
         need_out = d.get_output_count(direction)
         in_place = d.placement == Placement.IN_PLACE

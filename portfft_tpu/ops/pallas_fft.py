@@ -266,6 +266,64 @@ def _generic_chain_call(
     )(xr2, xi2, *tables)
 
 
+def _direct_raw_kernel(chunk: int, n_chunks: int, precision):
+    """PACKED interleaved direct FFT: per chunk of lanes, one real matmul
+    against the interleaved block-diagonal DFT matrix — deinterleave, DFT,
+    scale and reinterleave in a single MXU pass."""
+
+    def kernel(x_ref, v_ref, o_ref):
+        v = v_ref[...]
+        for j in range(n_chunks):
+            sl = slice(j * chunk, (j + 1) * chunk)
+            o_ref[:, sl] = jnp.matmul(x_ref[:, sl], v, precision=precision)
+
+    return kernel
+
+
+def direct_raw_supported(n: int, total_complex: int) -> tuple[int, int] | None:
+    """If the raw fast path applies, return (chunk_lanes, rows); else None.
+
+    Requires the block-diagonal period lcm(2n, 256) to stay MXU-sized and
+    the flat buffer to tile into (rows, C) with 128-row blocks.
+    """
+    two_n = 2 * n
+    chunk = two_n
+    while chunk % 256 and chunk < 1024:
+        chunk += two_n
+    if chunk % 256 or chunk > 1024:
+        return None
+    total = 2 * total_complex
+    # pick a row width C: multiple of chunk, rows multiple of 128
+    for mult in (8, 4, 2, 1):
+        c = chunk * mult
+        if total % (c * 128) == 0:
+            return chunk, c
+    return None
+
+
+def direct_raw_call(raw, n, v_table, chunk, c, config, precision=None):
+    """raw (2M,) PACKED interleaved -> transformed raw (2M,)."""
+    total = raw.shape[0]
+    rows = total // c
+    x2 = raw.reshape(rows, c)
+    rt = 128
+    prec = xla_fft.resolve_precision(precision)
+    data_spec = pl.BlockSpec((rt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    flops = 2 * rows * c * chunk
+    out = pl.pallas_call(
+        _direct_raw_kernel(chunk, c // chunk, prec),
+        grid=(rows // rt,),
+        in_specs=[data_spec, _const_spec(v_table)],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, c), raw.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=2 * total * 4, transcendentals=0
+        ),
+        interpret=_interpret_mode(),
+    )(x2, v_table)
+    return out.reshape(total)
+
+
 def leaf_dispatch(
     xr, xi, plan, sign, bank, *, bank_keys, config, precision=None
 ):

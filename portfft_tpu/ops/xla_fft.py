@@ -114,6 +114,17 @@ class TwiddleBank:
             self.host[key] = None
         return key
 
+    def vmat(self, n: int, sign: int, chunk: int, scale: float) -> str:
+        """Interleaved block-diagonal DFT matrix (see
+        twiddle.interleaved_dft_matrix) — used by the raw-I/O direct kernel."""
+        key = f"V{'f' if sign < 0 else 'b'}{n}_{chunk}_{scale!r}"
+        if key not in self.host:
+            self.host[key + "v"] = tw.interleaved_dft_matrix(
+                n, sign, self.dtype, scale, chunk
+            )
+            self.host[key] = None
+        return key
+
     def device_arrays(self, device=None) -> dict[str, Array]:
         out = {}
         for k, v in self.host.items():

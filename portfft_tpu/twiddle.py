@@ -68,6 +68,40 @@ def twiddles(f: int, m: int, sign: int, dtype) -> tuple[np.ndarray, np.ndarray]:
     return re.astype(dtype), im.astype(dtype)
 
 
+def interleaved_dft_matrix(
+    n: int, sign: int, dtype, scale: float = 1.0, chunk: int | None = None
+) -> np.ndarray:
+    """Real (chunk, chunk) matrix computing interleaved-complex DFTs.
+
+    For interleaved storage z[2j]=re, z[2j+1]=im, the complex matmul
+    y = x·W is the single real matmul z_out = z_in · V with
+
+        V[2j, 2k]   =  Re W[j,k]      V[2j, 2k+1] = Im W[j,k]
+        V[2j+1, 2k] = -Im W[j,k]      V[2j+1,2k+1] = Re W[j,k]
+
+    so one MXU pass performs deinterleave + DFT + reinterleave at the same
+    flop count as the four-plane-matmul form.  When ``chunk > 2n`` the
+    (2n, 2n) block is tiled along the diagonal, processing chunk/2n packed
+    transforms per lane group — full MXU utilization for tiny n.  ``scale``
+    is folded in for free.
+    """
+    wr, wi = _dft_matrix_f64(n, sign)
+    v = np.zeros((2 * n, 2 * n), dtype=np.float64)
+    v[0::2, 0::2] = wr
+    v[0::2, 1::2] = wi
+    v[1::2, 0::2] = -wi
+    v[1::2, 1::2] = wr
+    v *= scale
+    if chunk is None or chunk == 2 * n:
+        return v.astype(dtype)
+    reps = chunk // (2 * n)
+    out = np.zeros((chunk, chunk), dtype=np.float64)
+    for r in range(reps):
+        s = r * 2 * n
+        out[s : s + 2 * n, s : s + 2 * n] = v
+    return out.astype(dtype)
+
+
 def bluestein_chirp(n: int, sign: int, dtype) -> tuple[np.ndarray, np.ndarray]:
     """Chirp sequence c[k] = exp(sign·πi·k²/n) for the Bluestein algorithm.
 

@@ -42,6 +42,11 @@ from .enums import inv as _inv
 _SIGN = {Direction.FORWARD: -1, Direction.BACKWARD: +1}
 
 
+class _RawFastUnavailable(Exception):
+    """Raised during tracing when a raw fast-path kernel declines the shape
+    (e.g. batch not divisible by any viable tile); caller falls back."""
+
+
 class CommittedDescriptor:
     """A planned, compiled FFT ready for repeated execution."""
 
@@ -107,12 +112,13 @@ class CommittedDescriptor:
             use_pallas
             and len(d.lengths) == 1
             and self.precision == np.float32
-            and self.plans[d.lengths[0]].level == Level.DIRECT
+            and self.plans[d.lengths[0]].level in (Level.DIRECT, Level.FUSED)
         ):
             from .ops import pallas_fft
             from .enums import Domain
 
             n0 = d.lengths[0]
+            plan0 = self.plans[n0]
             total = d.number_of_transforms * n0
             if d.domain == Domain.COMPLEX:
                 for direction, sign in (
@@ -126,13 +132,33 @@ class CommittedDescriptor:
                         and d.get_offset(direction) == 0
                         and d.get_offset(out_dir) == 0
                     )
-                    sup = pallas_fft.direct_raw_supported(n0, total)
-                    if packed and sup:
-                        chunk, c = sup
-                        key = self._bank.vmat(
-                            n0, sign, chunk, float(d.get_scale(direction))
+                    if not packed:
+                        continue
+                    if plan0.level == Level.DIRECT:
+                        sup = pallas_fft.direct_raw_supported(n0, total)
+                        if sup:
+                            chunk, c = sup
+                            key = self._bank.vmat(
+                                n0, sign, chunk, float(d.get_scale(direction))
+                            )
+                            self._raw_fast[direction] = (
+                                "direct", key, chunk, c, total
+                            )
+                    elif pallas_fft.fused2_raw_supported(n0, plan0):
+                        a0 = plan0.factors[0]
+                        wa = self._bank_keys[("W", a0, sign)]
+                        tk = self._bank_keys[("T", a0, 128, sign)]
+                        wb = self._bank_keys[("W", 128, sign)]
+                        names = [
+                            wa + "r", wa + "i", tk + "r", tk + "i",
+                            wb + "r", wb + "i",
+                        ]
+                        self._raw_fast[direction] = (
+                            "fused2",
+                            names,
+                            float(d.get_scale(direction)),
+                            total,
                         )
-                        self._raw_fast[direction] = (key, chunk, c, total)
 
         self._bank_arrays = self._bank.device_arrays(device)
 
@@ -664,32 +690,68 @@ class CommittedDescriptor:
             )
 
         raw_fast = self._raw_fast.get(direction)
-        if raw_fast is not None:
-            key, chunk, c, total = raw_fast
-            if flat_in.shape[0] == 2 * total and out is None:
-                from .ops import pallas_fft
+        if raw_fast is not None and out is None:
+            from .ops import pallas_fft
 
-                def build():
-                    def fn(raw, bank):
-                        return pallas_fft.direct_raw_call(
-                            raw,
-                            d.lengths[0],
-                            bank[key + "v"],
-                            chunk,
-                            c,
-                            self.config,
-                            self.matmul_precision,
-                        )
+            cfn = None
+            if raw_fast[0] == "direct":
+                _, key, chunk, c, total = raw_fast
+                if flat_in.shape[0] == 2 * total:
 
-                    return fn
+                    def build():
+                        def fn(raw, bank):
+                            return pallas_fft.direct_raw_call(
+                                raw,
+                                d.lengths[0],
+                                bank[key + "v"],
+                                chunk,
+                                c,
+                                self.config,
+                                self.matmul_precision,
+                            )
 
+                        return fn
+
+                    cfn = build
+            else:  # fused2
+                _, names, scale, total = raw_fast
+                if flat_in.shape[0] == 2 * total:
+                    plan0 = self.plans[d.lengths[0]]
+                    batch = d.number_of_transforms
+
+                    def build():
+                        def fn(raw, bank):
+                            res = pallas_fft.fused2_raw_call(
+                                raw,
+                                batch,
+                                plan0,
+                                [bank[nm] for nm in names],
+                                self.config,
+                                self.matmul_precision,
+                                scale,
+                            )
+                            if res is None:
+                                raise _RawFastUnavailable()
+                            return res
+
+                        return fn
+
+                    cfn = build
+            if cfn is not None:
                 donate = (0,) if d.placement == Placement.IN_PLACE else ()
-                cfn = self._get_compiled(
-                    ("rawfast", direction, flat_in.shape),
-                    build,
-                    donate=donate if jax.default_backend() != "cpu" else (),
-                )
-                return self._from_raw(cfn(flat_in, self._bank_arrays), kind)
+                try:
+                    compiled = self._get_compiled(
+                        ("rawfast", direction, flat_in.shape),
+                        cfn,
+                        donate=donate if jax.default_backend() != "cpu" else (),
+                    )
+                    return self._from_raw(
+                        compiled(flat_in, self._bank_arrays), kind
+                    )
+                except _RawFastUnavailable:
+                    self._compiled.pop(
+                        ("rawfast", direction, flat_in.shape), None
+                    )
 
         need_out = d.get_output_count(direction)
         in_place = d.placement == Placement.IN_PLACE

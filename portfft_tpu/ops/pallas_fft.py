@@ -324,6 +324,109 @@ def direct_raw_call(raw, n, v_table, chunk, c, config, precision=None):
     return out.reshape(total)
 
 
+def _fused2_raw_kernel(a: int, bt: int, precision, scale=1.0):
+    """PACKED interleaved two-stage FFT, raw in / raw out, one HBM pass.
+
+    The per-batch (256, a) scratch transpose doubles as the deinterleave
+    (producing planes already in the [n2, n1] swapped orientation), and the
+    per-batch (2a, 128) output transpose doubles as both the digit-reversal
+    and the reinterleave — no separate I/O kernels, no extra HBM traffic.
+    """
+
+    def kernel(
+        x_ref, war, wai, tr, ti, wbr, wbi, o_ref, xr_s, xi_s, s3, s2
+    ):
+        # deinterleave: x_ref (bt, a, 256) -> plane scratches (bt, 128, a)
+        for b in range(bt):
+            s3[...] = x_ref[b].T  # (256, a)
+            xr_s[b] = s3[0::2, :]  # (128, a) = [n2, n1]
+            xi_s[b] = s3[1::2, :]
+        xr = xr_s[...]
+        xi = xi_s[...]
+        # factor-a DFT
+        ar, ai = xla_fft.complex_matmul_last(
+            xr, xi, war[...], wai[...], precision
+        )
+        # twiddle, bank layout (m=128, f=a) = [n2, k1]
+        ar, ai = xla_fft.complex_mul(ar, ai, tr[...], ti[...])
+        ar = jnp.swapaxes(ar, 1, 2)  # (bt, a, 128) = [k1, n2]
+        ai = jnp.swapaxes(ai, 1, 2)
+        # 128-point DFT
+        cr, ci = xla_fft.complex_matmul_last(
+            ar, ai, wbr[...], wbi[...], precision
+        )
+        if scale != 1.0:
+            cr = cr * scale
+            ci = ci * scale
+        # C (bt, a, 128) = [k1, k2]; out scalar idx = 2a·k2 + 2k1 + p:
+        # interleave + digit-reverse via one transpose per batch row
+        for b in range(bt):
+            s2[0::2, :] = cr[b]  # (2a, 128)
+            s2[1::2, :] = ci[b]
+            o_ref[b] = s2[...].T  # (128, 2a) = [k2, 2k1+p]
+
+    return kernel
+
+
+def fused2_raw_supported(n: int, plan: Plan1D) -> bool:
+    return (
+        len(plan.factors) == 2
+        and plan.factors[1] == 128
+        and plan.factors[0] >= 3
+    )
+
+
+def fused2_raw_call(raw, batch, plan, v_tables, config, precision=None, scale=1.0):
+    """raw (2·batch·n,) PACKED interleaved -> transformed, one kernel."""
+    n = plan.n
+    a = plan.factors[0]
+    prec = xla_fft.resolve_precision(precision)
+
+    bt = _pick_tile(batch, plan, config)
+    # padded VMEM: planes + out all pad their a-sized lane dim to 128
+    def bytes_est(bt_):
+        return (
+            2 * bt_ * 2 * n * 4          # in (×2 pipeline buffers)
+            + 4 * bt_ * 128 * 128 * 4    # plane scratches (padded)
+            + 4 * bt_ * 128 * 128 * 4    # intermediates
+            + 2 * 2 * bt_ * 128 * 256 * 4  # out (padded, ×2 buffers)
+        )
+
+    while bt > config.sublane and bytes_est(bt) > config.vmem_budget:
+        bt //= 2
+    if batch % bt:
+        return None
+
+    x3 = raw.reshape(batch, a, 256)
+    in_spec = pl.BlockSpec(
+        (bt, a, 256), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (bt, 128, 2 * a), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    flops = 8 * batch * n * (a + 128)
+    out = pl.pallas_call(
+        _fused2_raw_kernel(a, bt, prec, scale),
+        grid=(batch // bt,),
+        in_specs=[in_spec] + [_const_spec(t) for t in v_tables],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, 128, 2 * a), raw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt, 128, a), raw.dtype),
+            pltpu.VMEM((bt, 128, a), raw.dtype),
+            pltpu.VMEM((256, a), raw.dtype),
+            pltpu.VMEM((2 * a, 128), raw.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * raw.shape[0] * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret_mode(),
+    )(x3, *v_tables)
+    return out.reshape(raw.shape[0])
+
+
 def leaf_dispatch(
     xr, xi, plan, sign, bank, *, bank_keys, config, precision=None
 ):

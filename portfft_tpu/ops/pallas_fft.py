@@ -434,9 +434,17 @@ def leaf_dispatch(
 
     Returns None to fall back to the XLA chain (fp64, or factor shapes
     without a Mosaic-safe kernel)."""
-    if plan.level not in (Level.DIRECT, Level.FUSED):
-        return None
     if xr.dtype != jnp.float32:
+        return None
+    if plan.level == Level.GLOBAL:
+        from . import pallas_global
+
+        if pallas_global.global2_supported(plan, config.direct_threshold):
+            return pallas_global.global2_call(
+                xr, xi, plan, sign, bank_keys, bank, config, precision
+            )
+        return None
+    if plan.level not in (Level.DIRECT, Level.FUSED):
         return None
     return fused_chain(
         xr, xi, plan, sign, bank_keys, bank, config, precision

@@ -1,0 +1,145 @@
+"""Two-pass Pallas engine for GLOBAL-level transforms.
+
+TPU-native redesign of the reference's global engine
+(common/global.hpp:303-401, global_dispatcher.hpp:312-412): where the
+reference launches one kernel per factor per batch chunk plus explicit
+transpose kernels between passes with double-buffered scratch, this engine
+needs exactly TWO Pallas kernels for n = G1·G2 (each Gi solved by a single
+DFT matmul), with the inter-factor transposes folded into the BlockSpec
+index maps — the data is never transposed in HBM, only block-locally in
+VMEM where the transpose unit is free-ish:
+
+  pass 1, grid (B, G2/T): block x[b, :, t·T:(t+1)T] (G1, T)
+      S[b, tT:(t+1)T, :] = (xᵀ · W_G1) ∘ Tw[tT:(t+1)T, :]     # (T, G1)
+  pass 2, grid (B, G1/T): block S[b, :, jT:(j+1)T] (G2, T)
+      O[b, :, jT:(j+1)T] = (Sᵀ · W_G2)ᵀ                        # (G2, T)
+
+O viewed (B, G2, G1) flattens to the natural order for free
+(k = k1 + G1·k2 = row-major index of [k2, k1]).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..enums import Level
+from ..planner import Plan1D
+from . import xla_fft
+
+
+def global2_supported(plan: Plan1D, max_direct: int = 256) -> bool:
+    if plan.level != Level.GLOBAL:
+        return False
+    g1, g2 = plan.sub
+    return (
+        g1.level == Level.DIRECT
+        and g2.level == Level.DIRECT
+        and g1.n <= max_direct
+        and g2.n <= max_direct
+        and g1.n % 8 == 0
+        and g2.n % 8 == 0
+    )
+
+
+def _const(t):
+    return pl.BlockSpec(
+        t.shape, (lambda *_: (0,) * t.ndim), memory_space=pltpu.VMEM
+    )
+
+
+def global2_call(
+    xr, xi, plan: Plan1D, sign: int, bank_keys, bank, config, precision=None,
+    scale: float = 1.0,
+):
+    """Planes (..., n) -> planes (..., n), two Pallas passes."""
+    n = plan.n
+    g1p, g2p = plan.sub
+    g1, g2 = g1p.n, g2p.n
+    prec = xla_fft.resolve_precision(precision)
+
+    lead = xr.shape[:-1]
+    b = math.prod(lead) if lead else 1
+    x3r = xr.reshape(b, g1, g2)
+    x3i = xi.reshape(b, g1, g2)
+
+    w1 = bank_keys[("W", g1, sign)]
+    w2 = bank_keys[("W", g2, sign)]
+    tw = bank_keys[("T", g1, g2, sign)]
+
+    t1 = min(512, g2)
+    while g2 % t1:
+        t1 //= 2
+    in1 = pl.BlockSpec(
+        (1, g1, t1), lambda bi, ti: (bi, 0, ti), memory_space=pltpu.VMEM
+    )
+    tw_spec = pl.BlockSpec(
+        (t1, g1), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
+    )
+    out1 = pl.BlockSpec(
+        (1, t1, g1), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+    )
+
+    def p1(xr_ref, xi_ref, wr, wi, twr, twi, or_ref, oi_ref):
+        xr_ = xr_ref[0].T
+        xi_ = xi_ref[0].T
+        ar, ai = xla_fft.complex_matmul_last(xr_, xi_, wr[...], wi[...], prec)
+        ar, ai = xla_fft.complex_mul(ar, ai, twr[...], twi[...])
+        or_ref[0] = ar
+        oi_ref[0] = ai
+
+    sr, si = pl.pallas_call(
+        p1,
+        grid=(b, g2 // t1),
+        in_specs=[in1, in1, _const(bank[w1 + "r"]), _const(bank[w1 + "i"]),
+                  tw_spec, tw_spec],
+        out_specs=[out1, out1],
+        out_shape=[jax.ShapeDtypeStruct((b, g2, g1), xr.dtype)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * n * g1,
+            bytes_accessed=4 * 4 * b * n,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x3r, x3i, bank[w1 + "r"], bank[w1 + "i"], bank[tw + "r"], bank[tw + "i"])
+
+    t2 = min(512, g1)
+    while g1 % t2:
+        t2 //= 2
+    in2 = pl.BlockSpec(
+        (1, g2, t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
+    )
+    out2 = pl.BlockSpec(
+        (1, g2, t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
+    )
+
+    def p2(xr_ref, xi_ref, wr, wi, or_ref, oi_ref):
+        xr_ = xr_ref[0].T  # (t2, g2) = [k1-slice, n2]
+        xi_ = xi_ref[0].T
+        cr, ci = xla_fft.complex_matmul_last(xr_, xi_, wr[...], wi[...], prec)
+        if scale != 1.0:
+            cr = cr * scale
+            ci = ci * scale
+        or_ref[0] = cr.T  # (g2, t2) = [k2, k1-slice]
+        oi_ref[0] = ci.T
+
+    yr, yi = pl.pallas_call(
+        p2,
+        grid=(b, g1 // t2),
+        in_specs=[in2, in2, _const(bank[w2 + "r"]), _const(bank[w2 + "i"])],
+        out_specs=[out2, out2],
+        out_shape=[jax.ShapeDtypeStruct((b, g2, g1), xr.dtype)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * n * g2,
+            bytes_accessed=4 * 4 * b * n,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(sr, si, bank[w2 + "r"], bank[w2 + "i"])
+
+    # (b, g2, g1) row-major flat = k1 + g1·k2 = the transform index: free.
+    return yr.reshape(*lead, n), yi.reshape(*lead, n)

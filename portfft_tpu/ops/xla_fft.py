@@ -271,6 +271,10 @@ def exec_plan(
         )
 
     if plan.level == Level.GLOBAL:
+        if leaf_fn is not None:
+            res = leaf_fn(xr, xi, plan, sign, bank)
+            if res is not None:
+                return res
         g1, g2 = plan.sub
         f, m = g1.n, g2.n
         lead = xr.shape[:-1]

@@ -112,9 +112,10 @@ class CommittedDescriptor:
             use_pallas
             and len(d.lengths) == 1
             and self.precision == np.float32
-            and self.plans[d.lengths[0]].level in (Level.DIRECT, Level.FUSED)
+            and self.plans[d.lengths[0]].level
+            in (Level.DIRECT, Level.FUSED, Level.GLOBAL)
         ):
-            from .ops import pallas_fft
+            from .ops import pallas_fft, pallas_global
             from .enums import Domain
 
             n0 = d.lengths[0]
@@ -143,6 +144,16 @@ class CommittedDescriptor:
                             )
                             self._raw_fast[direction] = (
                                 "direct", key, chunk, c, total
+                            )
+                    elif plan0.level == Level.GLOBAL:
+                        if pallas_global.global2_supported(
+                            plan0, self.config.direct_threshold
+                        ):
+                            self._raw_fast[direction] = (
+                                "global2",
+                                sign,
+                                float(d.get_scale(direction)),
+                                total,
                             )
                     elif pallas_fft.fused2_raw_supported(n0, plan0):
                         a0 = plan0.factors[0]
@@ -708,6 +719,32 @@ class CommittedDescriptor:
                                 c,
                                 self.config,
                                 self.matmul_precision,
+                            )
+
+                        return fn
+
+                    cfn = build
+            elif raw_fast[0] == "global2":
+                from .ops import pallas_global
+
+                _, sign, scale, total = raw_fast
+                if flat_in.shape[0] == 2 * total:
+                    plan0 = self.plans[d.lengths[0]]
+                    batch = d.number_of_transforms
+                    keys = self._bank_keys
+
+                    def build():
+                        def fn(raw, bank):
+                            return pallas_global.global2_raw_call(
+                                raw,
+                                batch,
+                                plan0,
+                                sign,
+                                keys,
+                                bank,
+                                self.config,
+                                self.matmul_precision,
+                                scale,
                             )
 
                         return fn

@@ -143,3 +143,103 @@ def global2_call(
 
     # (b, g2, g1) row-major flat = k1 + g1·k2 = the transform index: free.
     return yr.reshape(*lead, n), yi.reshape(*lead, n)
+
+
+def global2_raw_call(
+    raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
+    precision=None, scale: float = 1.0,
+):
+    """PACKED interleaved raw (2·batch·n,) -> transformed raw, two passes.
+
+    The interleave handling folds into the per-tile scratch transposes both
+    kernels already need: pass 1's input transpose deinterleaves (the even/
+    odd sublane slices of the transposed tile ARE the planes in [n2, n1]
+    orientation), and pass 2's output transpose reinterleaves while placing
+    the digit-reversed result (out row-major = 2(k1 + G1·k2) + p).
+    """
+    n = plan.n
+    g1p, g2p = plan.sub
+    g1, g2 = g1p.n, g2p.n
+    prec = xla_fft.resolve_precision(precision)
+
+    x3 = raw.reshape(batch, g1, 2 * g2)
+
+    w1 = bank_keys[("W", g1, sign)]
+    w2 = bank_keys[("W", g2, sign)]
+    tw = bank_keys[("T", g1, g2, sign)]
+
+    t1 = min(256, g2)
+    while g2 % t1:
+        t1 //= 2
+    in1 = pl.BlockSpec(
+        (1, g1, 2 * t1), lambda bi, ti: (bi, 0, ti), memory_space=pltpu.VMEM
+    )
+    tw_spec = pl.BlockSpec(
+        (t1, g1), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
+    )
+    out1 = pl.BlockSpec(
+        (1, t1, g1), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+    )
+
+    def p1(x_ref, wr, wi, twr, twi, or_ref, oi_ref, s3):
+        s3[...] = x_ref[0].T  # (2t1, g1): rows alternate re/im of [n2, n1]
+        xr_ = s3[0::2, :]  # (t1, g1) = [n2, n1]
+        xi_ = s3[1::2, :]
+        ar, ai = xla_fft.complex_matmul_last(xr_, xi_, wr[...], wi[...], prec)
+        ar, ai = xla_fft.complex_mul(ar, ai, twr[...], twi[...])
+        or_ref[0] = ar
+        oi_ref[0] = ai
+
+    sr, si = pl.pallas_call(
+        p1,
+        grid=(batch, g2 // t1),
+        in_specs=[in1, _const(bank[w1 + "r"]), _const(bank[w1 + "i"]),
+                  tw_spec, tw_spec],
+        out_specs=[out1, out1],
+        out_shape=[jax.ShapeDtypeStruct((batch, g2, g1), raw.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((2 * t1, g1), raw.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * batch * n * g1,
+            bytes_accessed=4 * 4 * batch * n,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x3, bank[w1 + "r"], bank[w1 + "i"], bank[tw + "r"], bank[tw + "i"])
+
+    t2 = min(256, g1)
+    while g1 % t2:
+        t2 //= 2
+    in2 = pl.BlockSpec(
+        (1, g2, t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
+    )
+    out2 = pl.BlockSpec(
+        (1, g2, 2 * t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
+    )
+
+    def p2(xr_ref, xi_ref, wr, wi, o_ref, s2):
+        xr_ = xr_ref[0].T  # (t2, g2) = [k1-slice, n2]
+        xi_ = xi_ref[0].T
+        cr, ci = xla_fft.complex_matmul_last(xr_, xi_, wr[...], wi[...], prec)
+        if scale != 1.0:
+            cr = cr * scale
+            ci = ci * scale
+        s2[0::2, :] = cr  # (2t2, g2)
+        s2[1::2, :] = ci
+        o_ref[0] = s2[...].T  # (g2, 2t2) = [k2, 2k1+p]
+
+    out = pl.pallas_call(
+        p2,
+        grid=(batch, g1 // t2),
+        in_specs=[in2, in2, _const(bank[w2 + "r"]), _const(bank[w2 + "i"])],
+        out_specs=out2,
+        out_shape=jax.ShapeDtypeStruct((batch, g2, 2 * g1), raw.dtype),
+        scratch_shapes=[pltpu.VMEM((2 * t2, g2), raw.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * batch * n * g2,
+            bytes_accessed=4 * 4 * batch * n,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(sr, si, bank[w2 + "r"], bank[w2 + "i"])
+
+    return out.reshape(raw.shape[0])

@@ -36,6 +36,17 @@ CONFIGS = [
     ("medium_large_1d", 4096, 32 * 1024),
     ("large_1d", 65536, 2048),
 ]
+# The reference lists these as planned-but-unwired sets
+# (reference_dft_set.hpp:43-47,93,104-113); we run them with --set full.
+EXTRA_CONFIGS = [
+    ("large_1d_prime", 65537, 2048),     # Bluestein (reference: planned)
+    ("backward_medium", 4096, 32 * 1024),  # direction=backward
+]
+REAL_CONFIGS = [  # real-domain set (reference: planned)
+    ("real_small", 32, 2 * 1024 * 1024),
+    ("real_medium", 512, 256 * 1024),
+    ("real_large", 8192, 16 * 1024),
+]
 RUNS_TO_AVERAGE = 10
 SAMPLES = 5
 
@@ -100,14 +111,71 @@ def bench_config(name, n, batch, hbm_gbps):
     return gflops, eff
 
 
+def bench_extra(cfg):
+    """Extended sets: backward, Bluestein prime, real-domain (the
+    reference's planned sets)."""
+    import jax.numpy as jnp
+
+    import portfft_tpu as pfft
+    from portfft_tpu import Domain
+
+    rng = np.random.default_rng(0)
+    for name, n, batch in EXTRA_CONFIGS:
+        try:
+            desc = pfft.Descriptor(lengths=[n], number_of_transforms=batch)
+            plan = desc.commit()
+            x = jnp.asarray(
+                rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+            )
+            compute = (
+                plan.compute_backward
+                if "backward" in name
+                else plan.compute_forward
+            )
+            y = compute(x)
+            _sync(y)
+            t0 = time.perf_counter()
+            for _ in range(RUNS_TO_AVERAGE):
+                y = compute(x)
+            _sync(y)
+            t = (time.perf_counter() - t0) / RUNS_TO_AVERAGE
+            gf = 5 * batch * n * math.log2(n) / t / 1e9
+            print(f"  {name:18s} N={n:<7d} {t*1e3:8.3f} ms {gf:9.1f} GFLOP/s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"  {name}: FAILED {e}", file=sys.stderr)
+    for name, n, batch in REAL_CONFIGS:
+        try:
+            desc = pfft.Descriptor(
+                lengths=[n], number_of_transforms=batch, domain=Domain.REAL
+            )
+            plan = desc.commit()
+            x = jnp.asarray(rng.uniform(-1, 1, batch * n).astype(np.float32))
+            y = plan.compute_forward(x)
+            _sync(y)
+            t0 = time.perf_counter()
+            for _ in range(RUNS_TO_AVERAGE):
+                y = plan.compute_forward(x)
+            _sync(y)
+            t = (time.perf_counter() - t0) / RUNS_TO_AVERAGE
+            gf = 2.5 * batch * n * math.log2(n) / t / 1e9
+            print(f"  {name:18s} N={n:<7d} {t*1e3:8.3f} ms {gf:9.1f} GFLOP/s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"  {name}: FAILED {e}", file=sys.stderr)
+
+
 def main():
     import jax
     import portfft_tpu as pfft
 
     dev = jax.devices()[0]
     cfg = pfft.resolve_device_config(dev)
+    # Device context dump (reference bench metadata, device_context.hpp:30-51)
     print(
-        f"device: {dev.device_kind} ({cfg.name}), peak HBM {cfg.hbm_gbps} GB/s",
+        f"device: {dev.device_kind} ({cfg.name}), platform {dev.platform}, "
+        f"peak HBM {cfg.hbm_gbps} GB/s, VMEM {cfg.vmem_bytes >> 20} MiB, "
+        f"jax {jax.__version__}",
         file=sys.stderr,
     )
 
@@ -132,6 +200,9 @@ def main():
             )
         )
         return
+
+    if "--set" in sys.argv and "full" in sys.argv:
+        bench_extra(cfg)
 
     geo_gflops = math.exp(sum(math.log(g) for g in gflops_list) / len(gflops_list))
     geo_eff = math.exp(sum(math.log(e) for e in eff_list) / len(eff_list))

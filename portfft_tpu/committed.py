@@ -159,14 +159,19 @@ class CommittedDescriptor:
                         a0 = plan0.factors[0]
                         wa = self._bank_keys[("W", a0, sign)]
                         tk = self._bank_keys[("T", a0, 128, sign)]
+                        tu = self._bank.twiddle_fm(a0, 128, sign)
                         wb = self._bank_keys[("W", 128, sign)]
-                        names = [
+                        names_v1 = [
                             wa + "r", wa + "i", tk + "r", tk + "i",
+                            wb + "r", wb + "i",
+                        ]
+                        names_v2 = [
+                            wa + "r", wa + "i", tu + "r", tu + "i",
                             wb + "r", wb + "i",
                         ]
                         self._raw_fast[direction] = (
                             "fused2",
-                            names,
+                            (names_v1, names_v2),
                             float(d.get_scale(direction)),
                             total,
                         )
@@ -751,22 +756,32 @@ class CommittedDescriptor:
 
                     cfn = build
             else:  # fused2
-                _, names, scale, total = raw_fast
+                _, (names_v1, names_v2), scale, total = raw_fast
                 if flat_in.shape[0] == 2 * total:
                     plan0 = self.plans[d.lengths[0]]
                     batch = d.number_of_transforms
 
                     def build():
                         def fn(raw, bank):
-                            res = pallas_fft.fused2_raw_call(
+                            res = pallas_fft.fused2_raw_v2_call(
                                 raw,
                                 batch,
                                 plan0,
-                                [bank[nm] for nm in names],
+                                [bank[nm] for nm in names_v2],
                                 self.config,
                                 self.matmul_precision,
                                 scale,
                             )
+                            if res is None:
+                                res = pallas_fft.fused2_raw_call(
+                                    raw,
+                                    batch,
+                                    plan0,
+                                    [bank[nm] for nm in names_v1],
+                                    self.config,
+                                    self.matmul_precision,
+                                    scale,
+                                )
                             if res is None:
                                 raise _RawFastUnavailable()
                             return res

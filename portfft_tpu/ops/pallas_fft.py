@@ -427,6 +427,123 @@ def fused2_raw_call(raw, batch, plan, v_tables, config, precision=None, scale=1.
     return out.reshape(raw.shape[0])
 
 
+def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale):
+    """Layout-L variant: every tensor keeps ≥128 lanes, transposes are
+    large, and the per-step op count is O(bt·a/128) instead of O(bt).
+
+    Data flow (per grid step, rows R = bt·a, lanes L = bt·128):
+      x (R, 256) --tile-transposes--> planes (R, 128)        [(b,n1), n2]
+      sub-block scatter -> (a, bt, 128)                      [n1, b, n2]
+      view (a, L); stage A = W_a @ X (left matmul)           [k1, (b,n2)]
+      view (a, bt, 128); twiddle T'(a,1,128); dot3d W_128    [k1, b, k2]
+      view (a, L); pair-stack scratch (2a, L); transpose     -> (L, 2a)
+      out rows (b·128 + k2), cols (2k1+p): natural PACKED interleaved.
+    """
+
+    def kernel(x_ref, war, wai, tr, ti, wbr, wbi, o_ref, pr, pi, s3, s2):
+        rows = bt * a
+        n_tiles = rows // 128
+        # deinterleave via (128, 256) tile transposes
+        for t in range(n_tiles):
+            sl = slice(t * 128, (t + 1) * 128)
+            s3[...] = x_ref[sl, :].T
+            pr[sl, :] = s3[0::2, :].T
+            pi[sl, :] = s3[1::2, :].T
+        # rows (b, n1) -> (a, bt, 128) via per-batch sub-block moves
+        xr3 = pr[...].reshape(bt, a, 128)
+        xi3 = pi[...].reshape(bt, a, 128)
+        xr3 = jnp.transpose(xr3, (1, 0, 2))
+        xi3 = jnp.transpose(xi3, (1, 0, 2))
+        # stage A: left matmul over n1 (DFT matrices are symmetric)
+        L = bt * 128
+        xr2 = xr3.reshape(a, L)
+        xi2 = xi3.reshape(a, L)
+        war_, wai_ = war[...], wai[...]
+        rr = jnp.matmul(war_, xr2, precision=precision)
+        ii = jnp.matmul(wai_, xi2, precision=precision)
+        ri = jnp.matmul(wai_, xr2, precision=precision)
+        ir = jnp.matmul(war_, xi2, precision=precision)
+        ar2 = rr - ii
+        ai2 = ri + ir
+        # twiddle W_n^{k1·n2}: tables (a, 128) broadcast over the batch dim
+        ar3 = ar2.reshape(a, bt, 128)
+        ai3 = ai2.reshape(a, bt, 128)
+        twr = tr[...].reshape(a, 1, 128)
+        twi = ti[...].reshape(a, 1, 128)
+        ar3, ai3 = xla_fft.complex_mul(ar3, ai3, twr, twi)
+        # stage B: 128-point DFT over n2
+        cr, ci = xla_fft.complex_matmul_last(
+            ar3, ai3, wbr[...], wbi[...], precision
+        )
+        if scale != 1.0:
+            cr = cr * scale
+            ci = ci * scale
+        # interleave + digit reversal: one big pair-stack transpose
+        s2[0::2, :] = cr.reshape(a, L)
+        s2[1::2, :] = ci.reshape(a, L)
+        o_ref[...] = s2[...].T  # (L, 2a) = [(b,k2), 2k1+p]
+
+    return kernel
+
+
+def fused2_raw_v2_call(
+    raw, batch, plan, tables_v2, config, precision=None, scale: float = 1.0
+):
+    """tables_v2 = [Wa_r, Wa_i, T'_r, T'_i, W128_r, W128_i] with T' in
+    (f, m) = (a, 128) orientation."""
+    n = plan.n
+    a = plan.factors[0]
+    prec = xla_fft.resolve_precision(precision)
+
+    bt = min(plan.batch_tile, config.batch_tile)
+
+    def bytes_est(bt_):
+        L = bt_ * 128
+        return (
+            2 * bt_ * 2 * n * 4        # in blocks (×2 buffers)
+            + 2 * bt_ * a * 128 * 4    # plane scratches
+            + 6 * a * L * 4            # stage tensors
+            + 2 * a * L * 4            # s2
+            + 2 * 2 * L * 2 * a * 4    # out (×2 buffers, lanes 2a)
+        )
+
+    while bt > config.sublane and (
+        bytes_est(bt) > config.vmem_budget or batch % bt
+    ):
+        bt //= 2
+    if batch % bt or (bt * a) % 128:
+        return None
+
+    x2 = raw.reshape(batch * a, 256)
+    in_spec = pl.BlockSpec(
+        (bt * a, 256), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (bt * 128, 2 * a), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    flops = 8 * batch * n * (a + 128)
+    out = pl.pallas_call(
+        _fused2_raw_v2_kernel(a, bt, prec, scale),
+        grid=(batch // bt,),
+        in_specs=[in_spec] + [_const_spec(t) for t in tables_v2],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((batch * 128, 2 * a), raw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt * a, 128), raw.dtype),
+            pltpu.VMEM((bt * a, 128), raw.dtype),
+            pltpu.VMEM((256, 128), raw.dtype),
+            pltpu.VMEM((2 * a, bt * 128), raw.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * raw.shape[0] * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret_mode(),
+    )(x2, *tables_v2)
+    return out.reshape(raw.shape[0])
+
+
 def leaf_dispatch(
     xr, xi, plan, sign, bank, *, bank_keys, config, precision=None
 ):

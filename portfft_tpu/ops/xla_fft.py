@@ -114,6 +114,17 @@ class TwiddleBank:
             self.host[key] = None
         return key
 
+    def twiddle_fm(self, f: int, m: int, sign: int) -> str:
+        """Inter-factor twiddles in natural (f, m) orientation (used by the
+        layout-L raw kernel, where k1 is the sublane dimension)."""
+        key = f"U{'f' if sign < 0 else 'b'}{f}x{m}"
+        if key not in self.host:
+            re, im = tw.twiddles(f, m, sign, self.dtype)
+            self.host[key + "r"] = re
+            self.host[key + "i"] = im
+            self.host[key] = None
+        return key
+
     def vmat(self, n: int, sign: int, chunk: int, scale: float) -> str:
         """Interleaved block-diagonal DFT matrix (see
         twiddle.interleaved_dft_matrix) — used by the raw-I/O direct kernel."""

@@ -106,13 +106,19 @@ class DistributedFFT:
         precision=np.float32,
         natural_order: bool = True,
         device=None,
+        use_pallas: Optional[bool] = None,
     ):
+        import jax as _jax
+
         self.n = n
         self.mesh = mesh
         self.seq_axis = seq_axis
         self.batch_axis = batch_axis
         self.natural_order = natural_order
         self.precision = np.dtype(precision)
+        if use_pallas is None:
+            use_pallas = _jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas and self.precision == np.float32
         p = mesh.shape[seq_axis]
         self.num_shards = p
         self.g1, self.g2 = _balanced_split(n, p)
@@ -148,6 +154,19 @@ class DistributedFFT:
         seq = self.seq_axis
         keys = self._bank_keys
 
+        leaf = None
+        if self.use_pallas:
+            import functools
+
+            from ..config import resolve_device_config
+            from ..ops import pallas_fft
+
+            leaf = functools.partial(
+                pallas_fft.leaf_dispatch,
+                bank_keys=keys,
+                config=resolve_device_config(),
+            )
+
         def fn(xr, xi, tw_r, tw_i, bank):
             # local (Bl, n/p) = (Bl, g1/p, g2) slab of the (g1, g2) view
             bl = xr.shape[0]
@@ -159,7 +178,9 @@ class DistributedFFT:
             # local FFT over g1 (contiguous after transpose)
             xr = jnp.swapaxes(xr, 1, 2)  # (Bl, g2/p, g1)
             xi = jnp.swapaxes(xi, 1, 2)
-            xr, xi = xla_fft.exec_plan(xr, xi, self.plan1, sign, keys, bank)
+            xr, xi = xla_fft.exec_plan(
+                xr, xi, self.plan1, sign, keys, bank, leaf
+            )
             # inter-factor twiddle W_n^{k1·g2}: tw is the local (g2/p, g1)
             # slice of the (g2, g1) table
             xr, xi = xla_fft.complex_mul(xr, xi, tw_r, tw_i)
@@ -169,7 +190,9 @@ class DistributedFFT:
             # local FFT over g2
             xr = jnp.swapaxes(xr, 1, 2)  # (Bl, k1/p, g2)
             xi = jnp.swapaxes(xi, 1, 2)
-            xr, xi = xla_fft.exec_plan(xr, xi, self.plan2, sign, keys, bank)
+            xr, xi = xla_fft.exec_plan(
+                xr, xi, self.plan2, sign, keys, bank, leaf
+            )
             # C[k1, k2]; X[k1 + g1*k2] = C[k1, k2]
             if self.natural_order:
                 # natural view (k2, k1): transpose locally then exchange so

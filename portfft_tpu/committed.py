@@ -309,6 +309,29 @@ class CommittedDescriptor:
                 continue
             plan = self.plans[n]
             if axis != ndims - 1:
+                # Non-contiguous axis: prefer the in-VMEM column-FFT pass
+                # (no HBM transposes); fall back to moveaxis + leaf.
+                if self.use_pallas and xr.dtype == jnp.float32:
+                    from .ops import pallas_global
+
+                    shape = xr.shape
+                    trailing = int(np.prod(shape[2 + axis :]))
+                    xr2 = xr.reshape(*shape[: 1 + axis], n, trailing)
+                    xi2 = xi.reshape(*shape[: 1 + axis], n, trailing)
+                    res = pallas_global.fft_axis_m2_call(
+                        xr2,
+                        xi2,
+                        plan,
+                        sign,
+                        self._bank_keys,
+                        bank,
+                        self.config,
+                        self.matmul_precision,
+                    )
+                    if res is not None:
+                        xr = res[0].reshape(shape)
+                        xi = res[1].reshape(shape)
+                        continue
                 xr = jnp.moveaxis(xr, 1 + axis, -1)
                 xi = jnp.moveaxis(xi, 1 + axis, -1)
             xr, xi = xla_fft.exec_plan(

@@ -145,6 +145,64 @@ def global2_call(
     return yr.reshape(*lead, n), yi.reshape(*lead, n)
 
 
+def fft_axis_m2_call(
+    xr, xi, plan: Plan1D, sign: int, bank_keys, bank, config, precision=None
+):
+    """Batched FFT over the second-to-last axis, no HBM transposes.
+
+    x planes (..., L1, L2) -> planes (..., L1, L2) with the L1 axis
+    transformed.  Only DIRECT plans (L1 ≤ 256): per (L1, T) tile the kernel
+    transposes in VMEM, applies the DFT matmul, and transposes back.  Used
+    by the multi-dimensional dispatcher for the non-contiguous axes (the
+    reference launches per-slice kernels on BATCH_INTERLEAVED views here,
+    committed_descriptor_impl.hpp:932-948).
+    """
+    if plan.level != Level.DIRECT:
+        return None
+    l1 = plan.n
+    if l1 % 8:
+        return None
+    prec = xla_fft.resolve_precision(precision)
+    lead = xr.shape[:-2]
+    l2 = xr.shape[-1]
+    b = math.prod(lead) if lead else 1
+    x3r = xr.reshape(b, l1, l2)
+    x3i = xi.reshape(b, l1, l2)
+
+    t = min(512, l2)
+    while l2 % t:
+        t //= 2
+    if t < 128 and l2 >= 128:
+        return None
+
+    wkey = bank_keys[("W", l1, sign)]
+    spec = pl.BlockSpec(
+        (1, l1, t), lambda bi, ti: (bi, 0, ti), memory_space=pltpu.VMEM
+    )
+
+    def kern(xr_ref, xi_ref, wr, wi, or_ref, oi_ref):
+        xr_ = xr_ref[0].T  # (t, l1)
+        xi_ = xi_ref[0].T
+        ar, ai = xla_fft.complex_matmul_last(xr_, xi_, wr[...], wi[...], prec)
+        or_ref[0] = ar.T  # (l1, t)
+        oi_ref[0] = ai.T
+
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=(b, l2 // t),
+        in_specs=[spec, spec, _const(bank[wkey + "r"]), _const(bank[wkey + "i"])],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((b, l1, l2), xr.dtype)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * l1 * l1 * l2,
+            bytes_accessed=4 * 4 * b * l1 * l2,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x3r, x3i, bank[wkey + "r"], bank[wkey + "i"])
+    return yr.reshape(*lead, l1, l2), yi.reshape(*lead, l1, l2)
+
+
 def global2_raw_call(
     raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
     precision=None, scale: float = 1.0,

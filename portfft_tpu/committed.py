@@ -146,7 +146,7 @@ class CommittedDescriptor:
                                 "direct", key, chunk, c, total
                             )
                     elif plan0.level == Level.GLOBAL:
-                        if pallas_global.global2_supported(
+                        if pallas_global.global2_raw_supported(
                             plan0, self.config.direct_threshold
                         ):
                             self._raw_fast[direction] = (
@@ -827,6 +827,17 @@ class CommittedDescriptor:
                     self._compiled.pop(
                         ("rawfast", direction, flat_in.shape), None
                     )
+                except Exception as exc:  # kernel compile rejection etc.
+                    from .utils.logging import warn
+
+                    warn(
+                        f"raw fast path disabled for {direction}: "
+                        f"{str(exc)[:200]}"
+                    )
+                    self._compiled.pop(
+                        ("rawfast", direction, flat_in.shape), None
+                    )
+                    self._raw_fast.pop(direction, None)
 
         need_out = d.get_output_count(direction)
         in_place = d.placement == Placement.IN_PLACE

@@ -478,10 +478,14 @@ def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale):
         if scale != 1.0:
             cr = cr * scale
             ci = ci * scale
-        # interleave + digit reversal: one big pair-stack transpose
-        s2[0::2, :] = cr.reshape(a, L)
-        s2[1::2, :] = ci.reshape(a, L)
-        o_ref[...] = s2[...].T  # (L, 2a) = [(b,k2), 2k1+p]
+        # interleave + digit reversal: pair-stack along dim 0 of a 3D
+        # scratch (strided stores require the base memref's minor dim to be
+        # 128), then two supported permutes
+        s2[0::2] = cr  # s2: (2a, bt, 128)
+        s2[1::2] = ci
+        v = jnp.transpose(s2[...], (1, 0, 2))  # (bt, 2a, 128)
+        v = jnp.swapaxes(v, 1, 2)  # (bt, 128, 2a) = [b, k2, 2k1+p]
+        o_ref[...] = v
 
     return kernel
 
@@ -519,7 +523,7 @@ def fused2_raw_v2_call(
         (bt * a, 256), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (bt * 128, 2 * a), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (bt, 128, 2 * a), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     flops = 8 * batch * n * (a + 128)
     out = pl.pallas_call(
@@ -527,12 +531,12 @@ def fused2_raw_v2_call(
         grid=(batch // bt,),
         in_specs=[in_spec] + [_const_spec(t) for t in tables_v2],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((batch * 128, 2 * a), raw.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, 128, 2 * a), raw.dtype),
         scratch_shapes=[
             pltpu.VMEM((bt * a, 128), raw.dtype),
             pltpu.VMEM((bt * a, 128), raw.dtype),
             pltpu.VMEM((256, 128), raw.dtype),
-            pltpu.VMEM((2 * a, bt * 128), raw.dtype),
+            pltpu.VMEM((2 * a, bt, 128), raw.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,

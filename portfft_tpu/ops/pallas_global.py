@@ -203,6 +203,15 @@ def fft_axis_m2_call(
     return yr.reshape(*lead, l1, l2), yi.reshape(*lead, l1, l2)
 
 
+def global2_raw_supported(plan: Plan1D, max_direct: int = 256) -> bool:
+    """Raw variant additionally needs 128 | G1 and 128 | G2 (the in-kernel
+    de/interleave walks 128-lane tiles)."""
+    if not global2_supported(plan, max_direct):
+        return False
+    g1, g2 = plan.sub
+    return g1.n % 128 == 0 and g2.n % 128 == 0
+
+
 def global2_raw_call(
     raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
     precision=None, scale: float = 1.0,
@@ -239,11 +248,17 @@ def global2_raw_call(
         (1, t1, g1), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
     )
 
-    def p1(x_ref, wr, wi, twr, twi, or_ref, oi_ref, s3):
-        s3[...] = x_ref[0].T  # (2t1, g1): rows alternate re/im of [n2, n1]
-        xr_ = s3[0::2, :]  # (t1, g1) = [n2, n1]
-        xi_ = s3[1::2, :]
-        ar, ai = xla_fft.complex_matmul_last(xr_, xi_, wr[...], wi[...], prec)
+    def p1(x_ref, wr, wi, twr, twi, or_ref, oi_ref, s3, pr, pi):
+        # deinterleave per 128-column tile of the (g1, 2t1) block; the
+        # strided sublane reads require a 128-lane scratch base
+        for j in range(g1 // 128):
+            sl = slice(j * 128, (j + 1) * 128)
+            s3[...] = x_ref[0, sl, :].T  # (2t1, 128)
+            pr[:, sl] = s3[0::2, :]  # (t1, 128) = [n2, n1-slice]
+            pi[:, sl] = s3[1::2, :]
+        ar, ai = xla_fft.complex_matmul_last(
+            pr[...], pi[...], wr[...], wi[...], prec
+        )
         ar, ai = xla_fft.complex_mul(ar, ai, twr[...], twi[...])
         or_ref[0] = ar
         oi_ref[0] = ai
@@ -255,7 +270,11 @@ def global2_raw_call(
                   tw_spec, tw_spec],
         out_specs=[out1, out1],
         out_shape=[jax.ShapeDtypeStruct((batch, g2, g1), raw.dtype)] * 2,
-        scratch_shapes=[pltpu.VMEM((2 * t1, g1), raw.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((2 * t1, 128), raw.dtype),
+            pltpu.VMEM((t1, g1), raw.dtype),
+            pltpu.VMEM((t1, g1), raw.dtype),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=8 * batch * n * g1,
             bytes_accessed=4 * 4 * batch * n,
@@ -281,9 +300,12 @@ def global2_raw_call(
         if scale != 1.0:
             cr = cr * scale
             ci = ci * scale
-        s2[0::2, :] = cr  # (2t2, g2)
-        s2[1::2, :] = ci
-        o_ref[0] = s2[...].T  # (g2, 2t2) = [k2, 2k1+p]
+        # reinterleave per 128-column tile (128-lane strided-store bases)
+        for j in range(g2 // 128):
+            sl = slice(j * 128, (j + 1) * 128)
+            s2[0::2, :] = cr[:, sl]  # (2t2, 128)
+            s2[1::2, :] = ci[:, sl]
+            o_ref[0, sl, :] = s2[...].T  # (128, 2t2) = [k2-slice, 2k1+p]
 
     out = pl.pallas_call(
         p2,
@@ -291,7 +313,7 @@ def global2_raw_call(
         in_specs=[in2, in2, _const(bank[w2 + "r"]), _const(bank[w2 + "i"])],
         out_specs=out2,
         out_shape=jax.ShapeDtypeStruct((batch, g2, 2 * g1), raw.dtype),
-        scratch_shapes=[pltpu.VMEM((2 * t2, g2), raw.dtype)],
+        scratch_shapes=[pltpu.VMEM((2 * t2, 128), raw.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=8 * batch * n * g2,
             bytes_accessed=4 * 4 * batch * n,

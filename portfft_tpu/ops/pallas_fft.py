@@ -63,6 +63,23 @@ def _leaf_table_keys(plan: Plan1D, sign: int, bank_keys: dict) -> list[str]:
     return names
 
 
+
+def _kernel_precision(p, n: int = 1 << 30):
+    """Pallas kernels default to the manual bf16x3 scheme (~1.5e-5 relative
+    error at ~2x the speed of HIGHEST, Mosaic's only other accurate mode).
+    Small transforms keep HIGHEST: the parity tolerance 2·eps·N·log2N drops
+    below x3's error floor for N < 64."""
+    if p is None:
+        return "x3" if n >= 64 else jax.lax.Precision.HIGHEST
+    return xla_fft.resolve_precision(p)
+
+
+def _mm(a, b, precision):
+    if precision == "x3":
+        return xla_fft.matmul_x3(a, b)
+    return jnp.matmul(a, b, precision=precision)
+
+
 @functools.lru_cache(maxsize=None)
 def _interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
@@ -160,7 +177,7 @@ def fused_chain(
     else:
         table_names = _leaf_table_keys(plan, sign, bank_keys)
     tables = [bank[name] for name in table_names]
-    prec = xla_fft.resolve_precision(precision)
+    prec = _kernel_precision(precision, n)
 
     bt = _pick_tile(b, plan, config)
     if two_stage:
@@ -275,7 +292,7 @@ def _direct_raw_kernel(chunk: int, n_chunks: int, precision):
         v = v_ref[...]
         for j in range(n_chunks):
             sl = slice(j * chunk, (j + 1) * chunk)
-            o_ref[:, sl] = jnp.matmul(x_ref[:, sl], v, precision=precision)
+            o_ref[:, sl] = _mm(x_ref[:, sl], v, precision)
 
     return kernel
 
@@ -307,7 +324,7 @@ def direct_raw_call(raw, n, v_table, chunk, c, config, precision=None):
     rows = total // c
     x2 = raw.reshape(rows, c)
     rt = 128
-    prec = xla_fft.resolve_precision(precision)
+    prec = _kernel_precision(precision, n)
     data_spec = pl.BlockSpec((rt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     flops = 2 * rows * c * chunk
     out = pl.pallas_call(
@@ -380,7 +397,7 @@ def fused2_raw_call(raw, batch, plan, v_tables, config, precision=None, scale=1.
     """raw (2·batch·n,) PACKED interleaved -> transformed, one kernel."""
     n = plan.n
     a = plan.factors[0]
-    prec = xla_fft.resolve_precision(precision)
+    prec = _kernel_precision(precision, n)
 
     bt = _pick_tile(batch, plan, config)
     # padded VMEM: planes + out all pad their a-sized lane dim to 128
@@ -459,10 +476,10 @@ def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale):
         xr2 = xr3.reshape(a, L)
         xi2 = xi3.reshape(a, L)
         war_, wai_ = war[...], wai[...]
-        rr = jnp.matmul(war_, xr2, precision=precision)
-        ii = jnp.matmul(wai_, xi2, precision=precision)
-        ri = jnp.matmul(wai_, xr2, precision=precision)
-        ir = jnp.matmul(war_, xi2, precision=precision)
+        rr = _mm(war_, xr2, precision)
+        ii = _mm(wai_, xi2, precision)
+        ri = _mm(wai_, xr2, precision)
+        ir = _mm(war_, xi2, precision)
         ar2 = rr - ii
         ai2 = ri + ir
         # twiddle W_n^{k1·n2}: tables (a, 128) broadcast over the batch dim
@@ -497,7 +514,7 @@ def fused2_raw_v2_call(
     (f, m) = (a, 128) orientation."""
     n = plan.n
     a = plan.factors[0]
-    prec = xla_fft.resolve_precision(precision)
+    prec = _kernel_precision(precision, n)
 
     bt = min(plan.batch_tile, config.batch_tile)
 

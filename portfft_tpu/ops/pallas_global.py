@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..enums import Level
 from ..planner import Plan1D
 from . import xla_fft
+from .pallas_fft import _kernel_precision
 
 
 def global2_supported(plan: Plan1D, max_direct: int = 256) -> bool:
@@ -60,7 +61,7 @@ def global2_call(
     n = plan.n
     g1p, g2p = plan.sub
     g1, g2 = g1p.n, g2p.n
-    prec = xla_fft.resolve_precision(precision)
+    prec = _kernel_precision(precision)
 
     lead = xr.shape[:-1]
     b = math.prod(lead) if lead else 1
@@ -162,7 +163,7 @@ def fft_axis_m2_call(
     l1 = plan.n
     if l1 % 8:
         return None
-    prec = xla_fft.resolve_precision(precision)
+    prec = _kernel_precision(precision)
     lead = xr.shape[:-2]
     l2 = xr.shape[-1]
     b = math.prod(lead) if lead else 1
@@ -227,7 +228,7 @@ def global2_raw_call(
     n = plan.n
     g1p, g2p = plan.sub
     g1, g2 = g1p.n, g2p.n
-    prec = xla_fft.resolve_precision(precision)
+    prec = _kernel_precision(precision)
 
     x3 = raw.reshape(batch, g1, 2 * g2)
 

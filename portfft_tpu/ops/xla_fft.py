@@ -48,6 +48,9 @@ _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
+    # manual 3-pass bf16 emulation (see matmul_x3) — Mosaic cannot lower
+    # Precision.HIGH inside kernels, so the split is done by hand there.
+    "x3": "x3",
 }
 _PRECISION = jax.lax.Precision.HIGHEST
 
@@ -58,6 +61,25 @@ def resolve_precision(p):
     if isinstance(p, str):
         return _PRECISIONS[p.lower()]
     return p
+
+
+def matmul_x3(a: Array, b: Array) -> Array:
+    """fp32 matmul as three bf16 MXU passes (the bf16x3 scheme).
+
+    f32's 24-bit mantissa splits exactly into three bf16 parts; keeping the
+    three largest cross terms gives ~2^-22 relative error at ~2× the speed
+    of Precision.HIGHEST (six passes).  Used inside Pallas kernels where
+    XLA's own HIGH lowering is unavailable."""
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    a1 = a.astype(bf)
+    a2 = (a - a1.astype(f32)).astype(bf)
+    b1 = b.astype(bf)
+    b2 = (b - b1.astype(f32)).astype(bf)
+    out = jnp.matmul(a1, b1, preferred_element_type=f32)
+    out = out + jnp.matmul(a1, b2, preferred_element_type=f32)
+    out = out + jnp.matmul(a2, b1, preferred_element_type=f32)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +177,12 @@ def complex_matmul_last(
 ) -> tuple[Array, Array]:
     """(..., f) @ (f, k) complex matmul as four real MXU matmuls."""
     precision = resolve_precision(precision)
+    if precision == "x3":
+        rr = matmul_x3(xr, wr)
+        ii = matmul_x3(xi, wi)
+        ri = matmul_x3(xr, wi)
+        ir = matmul_x3(xi, wr)
+        return rr - ii, ri + ir
     rr = jnp.matmul(xr, wr, precision=precision)
     ii = jnp.matmul(xi, wi, precision=precision)
     ri = jnp.matmul(xr, wi, precision=precision)

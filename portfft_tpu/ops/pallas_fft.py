@@ -65,12 +65,13 @@ def _leaf_table_keys(plan: Plan1D, sign: int, bank_keys: dict) -> list[str]:
 
 
 def _kernel_precision(p, n: int = 1 << 30):
-    """Pallas kernels default to the manual bf16x3 scheme (~1.5e-5 relative
+    """Pallas kernels default to the manual bf16x3 scheme (~1e-5 relative
     error at ~2x the speed of HIGHEST, Mosaic's only other accurate mode).
-    Small transforms keep HIGHEST: the parity tolerance 2·eps·N·log2N drops
-    below x3's error floor for N < 64."""
+    Tiny transforms keep HIGHEST: the parity tolerance 2·eps·N·log2N drops
+    below x3's error floor for N < 16 (measured: N=8 fails, N=16 passes
+    with 5x margin)."""
     if p is None:
-        return "x3" if n >= 64 else jax.lax.Precision.HIGHEST
+        return "x3" if n >= 16 else jax.lax.Precision.HIGHEST
     return xla_fft.resolve_precision(p)
 
 

@@ -509,7 +509,8 @@ def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale):
 
 
 def fused2_raw_v2_call(
-    raw, batch, plan, tables_v2, config, precision=None, scale: float = 1.0
+    raw, batch, plan, tables_v2, config, precision=None, scale: float = 1.0,
+    bt_override: int | None = None,
 ):
     """tables_v2 = [Wa_r, Wa_i, T'_r, T'_i, W128_r, W128_i] with T' in
     (f, m) = (a, 128) orientation."""
@@ -517,7 +518,13 @@ def fused2_raw_v2_call(
     a = plan.factors[0]
     prec = _kernel_precision(precision, n)
 
-    bt = min(plan.batch_tile, config.batch_tile)
+    bt = bt_override or min(plan.batch_tile, config.batch_tile)
+    if bt_override:
+        if batch % bt or (bt * a) % 128:
+            return None
+        return _fused2_v2_launch(
+            raw, batch, plan, tables_v2, a, n, bt, prec, scale
+        )
 
     def bytes_est(bt_):
         L = bt_ * 128
@@ -535,7 +542,10 @@ def fused2_raw_v2_call(
         bt //= 2
     if batch % bt or (bt * a) % 128:
         return None
+    return _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec, scale)
 
+
+def _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec, scale):
     x2 = raw.reshape(batch * a, 256)
     in_spec = pl.BlockSpec(
         (bt * a, 256), lambda i: (i, 0), memory_space=pltpu.VMEM

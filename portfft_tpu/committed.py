@@ -103,6 +103,12 @@ class CommittedDescriptor:
         for sign in (-1, +1):
             for plan in self.plans.values():
                 xla_fft.collect_bank_keys(plan, sign, self._bank, self._bank_keys)
+            # Multi-dim: bank full DFT matrices for the non-contiguous axes
+            # so the in-VMEM column-FFT pass can run them as one matmul
+            # (ops/pallas_global.py fft_axis_m2_call).
+            for ln in set(descriptor.lengths[:-1]):
+                if 1 < ln <= 512:
+                    self._bank_keys[("W", ln, sign)] = self._bank.dft(ln, sign)
         # Raw fast path: 1D DIRECT-level PACKED interleaved transforms run as
         # a single interleaved block-diagonal matmul kernel (scale folded
         # into the table) — see ops/pallas_fft.py direct_raw_call.

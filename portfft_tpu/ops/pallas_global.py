@@ -158,12 +158,12 @@ def fft_axis_m2_call(
     reference launches per-slice kernels on BATCH_INTERLEAVED views here,
     committed_descriptor_impl.hpp:932-948).
     """
-    if plan.level != Level.DIRECT:
-        return None
     l1 = plan.n
-    if l1 % 8:
+    if l1 % 8 or l1 > 512:
         return None
-    prec = _kernel_precision(precision)
+    if ("W", l1, sign) not in bank_keys:
+        return None
+    prec = _kernel_precision(precision, l1)
     lead = xr.shape[:-2]
     l2 = xr.shape[-1]
     b = math.prod(lead) if lead else 1

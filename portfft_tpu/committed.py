@@ -573,6 +573,29 @@ class CommittedDescriptor:
             self._compiled[key] = jax.jit(builder(), donate_argnums=donate)
         return self._compiled[key]
 
+    def _run(self, key, builder, donate, *args):
+        """Execute a compiled entry point; if a Pallas kernel is rejected by
+        the TPU kernel compiler at this shape, permanently fall back to the
+        pure-XLA executor for this committed plan (the analogue of the
+        reference's JIT-retry chain over subgroup sizes,
+        committed_descriptor_impl.hpp:568-572)."""
+        try:
+            fn = self._get_compiled(key, builder, donate)
+            return fn(*args)
+        except Exception:
+            if not self.use_pallas:
+                raise
+            from .utils.logging import warn
+
+            warn(
+                f"pallas executor rejected at {key!r}; falling back to the "
+                "XLA path for this plan"
+            )
+            self.use_pallas = False
+            self._compiled.clear()
+            fn = self._get_compiled(key, builder, donate)
+            return fn(*args)
+
     def _compute(self, direction, x, x_imag, out, out_imag):
         d = self.descriptor
         in_place = d.placement == Placement.IN_PLACE
@@ -637,10 +660,15 @@ class CommittedDescriptor:
                     else jnp.zeros(cplx_count, dtype=self.precision)
                 )
                 key = ("r2c_split", real_in.shape, o_re.shape)
-                fn = self._get_compiled(
-                    key, lambda: self._traced_real_forward(True), donate=()
+                return self._run(
+                    key,
+                    lambda: self._traced_real_forward(True),
+                    (),
+                    real_in,
+                    o_re,
+                    o_im,
+                    self._bank_arrays,
                 )
-                return fn(real_in, o_re, o_im, self._bank_arrays)
             # interleaved
             was_numpy = isinstance(x, np.ndarray)
             if out is not None:
@@ -648,10 +676,14 @@ class CommittedDescriptor:
             else:
                 raw_out = jnp.zeros(2 * cplx_count, dtype=self.precision)
             key = ("r2c_raw", real_in.shape, raw_out.shape)
-            fn = self._get_compiled(
-                key, lambda: self._traced_real_forward(False), donate=()
+            result = self._run(
+                key,
+                lambda: self._traced_real_forward(False),
+                (),
+                real_in,
+                raw_out,
+                self._bank_arrays,
             )
-            result = fn(real_in, raw_out, self._bank_arrays)
             if was_numpy:
                 return np.asarray(result).view(self._complex_dtype())
             return result
@@ -681,10 +713,15 @@ class CommittedDescriptor:
             else jnp.zeros(real_count, dtype=self.precision)
         )
         key = ("c2r", in_re.shape, real_out.shape, split)
-        fn = self._get_compiled(
-            key, lambda: self._traced_real_backward(split), donate=()
+        return self._run(
+            key,
+            lambda: self._traced_real_backward(split),
+            (),
+            in_re,
+            in_im,
+            real_out,
+            self._bank_arrays,
         )
-        return fn(in_re, in_im, real_out, self._bank_arrays)
 
     def _complex_dtype(self):
         return np.dtype(
@@ -861,12 +898,14 @@ class CommittedDescriptor:
 
         key = ("ileaved", direction, flat_in.shape, flat_out.shape, in_place)
         donate = (0, 1) if in_place else (1,)
-        fn = self._get_compiled(
+        result = self._run(
             key,
             lambda: self._traced_interleaved(direction),
-            donate=donate if jax.default_backend() != "cpu" else (),
+            donate if jax.default_backend() != "cpu" else (),
+            flat_in,
+            flat_out,
+            self._bank_arrays,
         )
-        result = fn(flat_in, flat_out, self._bank_arrays)
         return self._from_raw(result, kind)
 
     def _compute_split(self, direction, x_re, x_im, out, out_imag):
@@ -897,8 +936,13 @@ class CommittedDescriptor:
 
         key = ("split", direction, flat_re.shape, o_re.shape, in_place)
         donate = (0, 1, 2, 3) if in_place else (2, 3)
-        fn = self._get_compiled(
-            key, lambda: self._traced_split(direction),
-            donate=donate if jax.default_backend() != "cpu" else (),
+        return self._run(
+            key,
+            lambda: self._traced_split(direction),
+            donate if jax.default_backend() != "cpu" else (),
+            flat_re,
+            flat_im,
+            o_re,
+            o_im,
+            self._bank_arrays,
         )
-        return fn(flat_re, flat_im, o_re, o_im, self._bank_arrays)

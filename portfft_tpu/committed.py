@@ -298,13 +298,55 @@ class CommittedDescriptor:
             precision=self.matmul_precision,
         )
 
+    def _workspace_len(self) -> int:
+        """Largest per-transform intermediate length in the plan tree
+        (Bluestein's padded convolution dominates when present)."""
+
+        def walk(p) -> int:
+            if p.conv is not None:
+                return max(p.n, walk(p.conv))
+            if p.sub is not None:
+                return max(p.n, walk(p.sub[0]), walk(p.sub[1]))
+            return p.n
+
+        total = 1
+        for n, p in self.plans.items():
+            total = max(total, walk(p) * (self.descriptor.get_flattened_length() // n))
+        return total
+
     def _core(self, xr, xi, direction: Direction, bank):
         """(batch, *lengths) re/im -> transformed re/im, scale applied.
+
+        Batches whose intermediate working set exceeds the HBM chunk budget
+        run under ``lax.map`` over batch chunks — memory is reused across
+        chunks inside one executable (reference analogue: the global
+        engine's L2-sized batch chunks, global_dispatcher.hpp:343).
 
         Multi-dimensional dispatch: separable per-axis transforms, last
         (contiguous) axis first (reference dispatch_dimensions,
         committed_descriptor_impl.hpp:899-950).
         """
+        d = self.descriptor
+        batch = xr.shape[0]
+        per_tx = 16 * self.precision.itemsize * self._workspace_len()
+        budget = self.config.hbm_chunk_bytes
+        if batch > 1 and per_tx * batch > budget:
+            chunk = max(1, budget // per_tx)
+            while chunk > 1 and batch % chunk:
+                chunk -= 1
+            if chunk < batch:
+                nchunks = batch // chunk
+                shape = xr.shape
+                xr3 = xr.reshape(nchunks, chunk, *shape[1:])
+                xi3 = xi.reshape(nchunks, chunk, *shape[1:])
+                yr3, yi3 = jax.lax.map(
+                    lambda ab: self._core_inner(ab[0], ab[1], direction, bank),
+                    (xr3, xi3),
+                )
+                return yr3.reshape(shape), yi3.reshape(shape)
+        return self._core_inner(xr, xi, direction, bank)
+
+    def _core_inner(self, xr, xi, direction: Direction, bank):
         d = self.descriptor
         sign = _SIGN[direction]
         leaf = self._leaf_fn(direction)

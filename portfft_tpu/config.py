@@ -43,6 +43,10 @@ class DeviceConfig:
     bluestein_threshold: int = 128
     #: Preferred batch-tile (rows per Pallas grid step) for fused kernels.
     batch_tile: int = 128
+    #: HBM working-set budget per executed batch chunk; bigger transforms
+    #: run under ``lax.map`` over batch chunks (the analogue of the
+    #: reference's L2-resident chunking, committed_descriptor_impl.hpp:605).
+    hbm_chunk_bytes: int = 2 << 30
 
     @property
     def vmem_budget(self) -> int:

@@ -159,7 +159,9 @@ def fft_axis_m2_call(
     committed_descriptor_impl.hpp:932-948).
     """
     l1 = plan.n
-    if l1 % 8 or l1 > 512:
+    # Cap at 256: the direct-matmul column pass measured slower than the
+    # XLA moveaxis path at 512 (flops grow as 8·l1 per element).
+    if l1 % 8 or l1 > 256:
         return None
     if ("W", l1, sign) not in bank_keys:
         return None

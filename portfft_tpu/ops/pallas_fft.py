@@ -156,7 +156,12 @@ def fused_chain(
     """
     n = plan.n
     factors = plan.factors
-    two_stage = len(factors) == 2 and factors[1] == 128
+    # Plane-path two-stage kernels need a >= 8: tiny split factors produce
+    # (bt, 128, a) blocks that Mosaic compiles pathologically slowly (the
+    # raw-I/O v2 kernel handles small a fine and is preferred upstream).
+    two_stage = (
+        len(factors) == 2 and factors[1] == 128 and factors[0] >= 8
+    )
     if not (len(factors) == 1 or two_stage) and not _interpret_mode():
         return None
 

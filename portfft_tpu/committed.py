@@ -42,11 +42,6 @@ from .enums import inv as _inv
 _SIGN = {Direction.FORWARD: -1, Direction.BACKWARD: +1}
 
 
-class _RawFastUnavailable(Exception):
-    """Raised during tracing when a raw fast-path kernel declines the shape
-    (e.g. batch not divisible by any viable tile); caller falls back."""
-
-
 class CommittedDescriptor:
     """A planned, compiled FFT ready for repeated execution."""
 
@@ -109,78 +104,12 @@ class CommittedDescriptor:
             for ln in set(descriptor.lengths[:-1]):
                 if 1 < ln <= 512:
                     self._bank_keys[("W", ln, sign)] = self._bank.dft(ln, sign)
-        # Raw fast path: 1D DIRECT-level PACKED interleaved transforms run as
-        # a single interleaved block-diagonal matmul kernel (scale folded
-        # into the table) — see ops/pallas_fft.py direct_raw_call.
-        self._raw_fast: dict = {}
-        d = descriptor
-        if (
-            use_pallas
-            and len(d.lengths) == 1
-            and self.precision == np.float32
-            and self.plans[d.lengths[0]].level
-            in (Level.DIRECT, Level.FUSED, Level.GLOBAL)
-        ):
-            from .ops import pallas_fft, pallas_global
-            from .enums import Domain
+        # Raw fast paths: 1D PACKED interleaved fp32 transforms bypass the
+        # generic gather/compute/scatter with single-buffer kernels
+        # (fastpath.py).
+        from . import fastpath
 
-            n0 = d.lengths[0]
-            plan0 = self.plans[n0]
-            total = d.number_of_transforms * n0
-            if d.domain == Domain.COMPLEX:
-                for direction, sign in (
-                    (Direction.FORWARD, -1),
-                    (Direction.BACKWARD, +1),
-                ):
-                    out_dir = _inv(direction)
-                    packed = (
-                        get_layout(d, direction) == Layout.PACKED
-                        and get_layout(d, out_dir) == Layout.PACKED
-                        and d.get_offset(direction) == 0
-                        and d.get_offset(out_dir) == 0
-                    )
-                    if not packed:
-                        continue
-                    if plan0.level == Level.DIRECT:
-                        sup = pallas_fft.direct_raw_supported(n0, total)
-                        if sup:
-                            chunk, c = sup
-                            key = self._bank.vmat(
-                                n0, sign, chunk, float(d.get_scale(direction))
-                            )
-                            self._raw_fast[direction] = (
-                                "direct", key, chunk, c, total
-                            )
-                    elif plan0.level == Level.GLOBAL:
-                        if pallas_global.global2_raw_supported(
-                            plan0, self.config.direct_threshold
-                        ):
-                            self._raw_fast[direction] = (
-                                "global2",
-                                sign,
-                                float(d.get_scale(direction)),
-                                total,
-                            )
-                    elif pallas_fft.fused2_raw_supported(n0, plan0):
-                        a0 = plan0.factors[0]
-                        wa = self._bank_keys[("W", a0, sign)]
-                        tk = self._bank_keys[("T", a0, 128, sign)]
-                        tu = self._bank.twiddle_fm(a0, 128, sign)
-                        wb = self._bank_keys[("W", 128, sign)]
-                        names_v1 = [
-                            wa + "r", wa + "i", tk + "r", tk + "i",
-                            wb + "r", wb + "i",
-                        ]
-                        names_v2 = [
-                            wa + "r", wa + "i", tu + "r", tu + "i",
-                            wb + "r", wb + "i",
-                        ]
-                        self._raw_fast[direction] = (
-                            "fused2",
-                            (names_v1, names_v2),
-                            float(d.get_scale(direction)),
-                            total,
-                        )
+        self._raw_fast = fastpath.register(self)
 
         self._bank_arrays = self._bank.device_arrays(device)
 
@@ -813,105 +742,27 @@ class CommittedDescriptor:
                 f"needs {need_in}"
             )
 
-        raw_fast = self._raw_fast.get(direction)
-        if raw_fast is not None and out is None:
-            from .ops import pallas_fft
+        entry = self._raw_fast.get(direction)
+        if entry is not None and out is None:
+            from . import fastpath
 
-            cfn = None
-            if raw_fast[0] == "direct":
-                _, key, chunk, c, total = raw_fast
-                if flat_in.shape[0] == 2 * total:
-
-                    def build():
-                        def fn(raw, bank):
-                            return pallas_fft.direct_raw_call(
-                                raw,
-                                d.lengths[0],
-                                bank[key + "v"],
-                                chunk,
-                                c,
-                                self.config,
-                                self.matmul_precision,
-                            )
-
-                        return fn
-
-                    cfn = build
-            elif raw_fast[0] == "global2":
-                from .ops import pallas_global
-
-                _, sign, scale, total = raw_fast
-                if flat_in.shape[0] == 2 * total:
-                    plan0 = self.plans[d.lengths[0]]
-                    batch = d.number_of_transforms
-                    keys = self._bank_keys
-
-                    def build():
-                        def fn(raw, bank):
-                            return pallas_global.global2_raw_call(
-                                raw,
-                                batch,
-                                plan0,
-                                sign,
-                                keys,
-                                bank,
-                                self.config,
-                                self.matmul_precision,
-                                scale,
-                            )
-
-                        return fn
-
-                    cfn = build
-            else:  # fused2
-                _, (names_v1, names_v2), scale, total = raw_fast
-                if flat_in.shape[0] == 2 * total:
-                    plan0 = self.plans[d.lengths[0]]
-                    batch = d.number_of_transforms
-
-                    def build():
-                        def fn(raw, bank):
-                            res = pallas_fft.fused2_raw_v2_call(
-                                raw,
-                                batch,
-                                plan0,
-                                [bank[nm] for nm in names_v2],
-                                self.config,
-                                self.matmul_precision,
-                                scale,
-                            )
-                            if res is None:
-                                res = pallas_fft.fused2_raw_call(
-                                    raw,
-                                    batch,
-                                    plan0,
-                                    [bank[nm] for nm in names_v1],
-                                    self.config,
-                                    self.matmul_precision,
-                                    scale,
-                                )
-                            if res is None:
-                                raise _RawFastUnavailable()
-                            return res
-
-                        return fn
-
-                    cfn = build
-            if cfn is not None:
+            traced = fastpath.build_fn(
+                self, direction, entry, flat_in.shape[0]
+            )
+            if traced is not None:
                 donate = (0,) if d.placement == Placement.IN_PLACE else ()
+                key = ("rawfast", direction, flat_in.shape)
                 try:
                     compiled = self._get_compiled(
-                        ("rawfast", direction, flat_in.shape),
-                        cfn,
+                        key,
+                        lambda: traced,
                         donate=donate if jax.default_backend() != "cpu" else (),
                     )
                     return self._from_raw(
                         compiled(flat_in, self._bank_arrays), kind
                     )
-                except _RawFastUnavailable:
-                    self._compiled.pop(
-                        ("rawfast", direction, flat_in.shape), None
-                    )
+                except fastpath.RawFastUnavailable:
+                    self._compiled.pop(key, None)
                 except Exception as exc:  # kernel compile rejection etc.
                     from .utils.logging import warn
 
@@ -919,9 +770,7 @@ class CommittedDescriptor:
                         f"raw fast path disabled for {direction}: "
                         f"{str(exc)[:200]}"
                     )
-                    self._compiled.pop(
-                        ("rawfast", direction, flat_in.shape), None
-                    )
+                    self._compiled.pop(key, None)
                     self._raw_fast.pop(direction, None)
 
         need_out = d.get_output_count(direction)

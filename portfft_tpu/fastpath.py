@@ -1,0 +1,150 @@
+"""Raw-I/O fast-path registry and dispatch.
+
+1D PACKED interleaved fp32 transforms — the hot production shapes and the
+reference's headline benchmark configurations — bypass the generic
+gather/compute/scatter executor and run as single-buffer Pallas kernels
+(ops/pallas_fft.py, ops/pallas_global.py), saving the separate
+de/interleaving HBM passes:
+
+| plan level | kernel | mechanism |
+|---|---|---|
+| DIRECT  | ``direct_raw_call``    | interleaved block-diagonal DFT matmul |
+| FUSED   | ``fused2_raw_v2_call`` | layout-L two-stage pipeline, in-kernel de/interleave |
+| GLOBAL  | ``global2_raw_call``   | two passes, interleave folded into tile transposes |
+
+Registration happens at commit time (conditions: layouts PACKED both
+domains, zero offsets, fp32, scale folded into tables/epilogues); dispatch
+happens per compute call and silently declines on buffer-shape mismatch or
+kernel rejection.
+"""
+
+from __future__ import annotations
+
+from .enums import Direction, Domain, Layout, Level
+from .enums import inv as _inv
+from .utils.layout import get_layout
+
+
+class RawFastUnavailable(Exception):
+    """Raised during tracing when a fast-path kernel declines the shape
+    (e.g. batch not divisible by any viable tile); caller falls back."""
+
+
+def register(committed) -> dict:
+    """Build the per-direction fast-path table for a committed plan."""
+    d = committed.descriptor
+    out: dict = {}
+    if not (
+        committed.use_pallas
+        and len(d.lengths) == 1
+        and committed.precision.name == "float32"
+        and d.domain == Domain.COMPLEX
+    ):
+        return out
+    n0 = d.lengths[0]
+    plan0 = committed.plans[n0]
+    if plan0.level not in (Level.DIRECT, Level.FUSED, Level.GLOBAL):
+        return out
+
+    from .ops import pallas_fft, pallas_global
+
+    bank = committed._bank
+    keys = committed._bank_keys
+    total = d.number_of_transforms * n0
+    for direction, sign in (
+        (Direction.FORWARD, -1),
+        (Direction.BACKWARD, +1),
+    ):
+        out_dir = _inv(direction)
+        packed = (
+            get_layout(d, direction) == Layout.PACKED
+            and get_layout(d, out_dir) == Layout.PACKED
+            and d.get_offset(direction) == 0
+            and d.get_offset(out_dir) == 0
+        )
+        if not packed:
+            continue
+        scale = float(d.get_scale(direction))
+        if plan0.level == Level.DIRECT:
+            sup = pallas_fft.direct_raw_supported(n0, total)
+            if sup:
+                chunk, c = sup
+                key = bank.vmat(n0, sign, chunk, scale)
+                out[direction] = ("direct", key, chunk, c, total)
+        elif plan0.level == Level.GLOBAL:
+            if pallas_global.global2_raw_supported(
+                plan0, committed.config.direct_threshold
+            ):
+                out[direction] = ("global2", sign, scale, total)
+        elif pallas_fft.fused2_raw_supported(n0, plan0):
+            a0 = plan0.factors[0]
+            wa = keys[("W", a0, sign)]
+            tk = keys[("T", a0, 128, sign)]
+            tu = bank.twiddle_fm(a0, 128, sign)
+            wb = keys[("W", 128, sign)]
+            names_v1 = [
+                wa + "r", wa + "i", tk + "r", tk + "i", wb + "r", wb + "i",
+            ]
+            names_v2 = [
+                wa + "r", wa + "i", tu + "r", tu + "i", wb + "r", wb + "i",
+            ]
+            out[direction] = ("fused2", (names_v1, names_v2), scale, total)
+    return out
+
+
+def build_fn(committed, direction, entry, flat_len: int):
+    """Return a traced callable ``fn(raw, bank) -> raw`` for this entry, or
+    None when the buffer length does not match the registered shape."""
+    from .ops import pallas_fft, pallas_global
+
+    d = committed.descriptor
+    kind = entry[0]
+    if kind == "direct":
+        _, key, chunk, c, total = entry
+        if flat_len != 2 * total:
+            return None
+
+        def fn(raw, bank):
+            return pallas_fft.direct_raw_call(
+                raw, d.lengths[0], bank[key + "v"], chunk, c,
+                committed.config, committed.matmul_precision,
+            )
+
+        return fn
+    if kind == "global2":
+        _, sign, scale, total = entry
+        if flat_len != 2 * total:
+            return None
+        plan0 = committed.plans[d.lengths[0]]
+        batch = d.number_of_transforms
+        keys = committed._bank_keys
+
+        def fn(raw, bank):
+            return pallas_global.global2_raw_call(
+                raw, batch, plan0, sign, keys, bank, committed.config,
+                committed.matmul_precision, scale,
+            )
+
+        return fn
+    # fused2
+    _, (names_v1, names_v2), scale, total = entry
+    if flat_len != 2 * total:
+        return None
+    plan0 = committed.plans[d.lengths[0]]
+    batch = d.number_of_transforms
+
+    def fn(raw, bank):
+        res = pallas_fft.fused2_raw_v2_call(
+            raw, batch, plan0, [bank[nm] for nm in names_v2],
+            committed.config, committed.matmul_precision, scale,
+        )
+        if res is None:
+            res = pallas_fft.fused2_raw_call(
+                raw, batch, plan0, [bank[nm] for nm in names_v1],
+                committed.config, committed.matmul_precision, scale,
+            )
+        if res is None:
+            raise RawFastUnavailable()
+        return res
+
+    return fn

@@ -56,15 +56,24 @@ def register(committed) -> dict:
         (Direction.BACKWARD, +1),
     ):
         out_dir = _inv(direction)
-        packed = (
-            get_layout(d, direction) == Layout.PACKED
-            and get_layout(d, out_dir) == Layout.PACKED
-            and d.get_offset(direction) == 0
-            and d.get_offset(out_dir) == 0
-        )
+        if d.get_offset(direction) or d.get_offset(out_dir):
+            continue
+        lin = get_layout(d, direction)
+        lout = get_layout(d, out_dir)
+        scale = float(d.get_scale(direction))
+        if (
+            lin == Layout.BATCH_INTERLEAVED
+            and lout == Layout.BATCH_INTERLEAVED
+            and plan0.level == Level.DIRECT
+        ):
+            ct = pallas_fft.bi_direct_supported(n0, d.number_of_transforms)
+            if ct:
+                wkey = bank.dft(n0, sign)
+                out[direction] = ("bi_direct", wkey, ct, scale, total)
+            continue
+        packed = lin == Layout.PACKED and lout == Layout.PACKED
         if not packed:
             continue
-        scale = float(d.get_scale(direction))
         if plan0.level == Level.DIRECT:
             sup = pallas_fft.direct_raw_supported(n0, total)
             if sup:
@@ -99,6 +108,20 @@ def build_fn(committed, direction, entry, flat_len: int):
 
     d = committed.descriptor
     kind = entry[0]
+    if kind == "bi_direct":
+        _, wkey, ct, scale, total = entry
+        if flat_len != 2 * total:
+            return None
+        n0 = d.lengths[0]
+        batch = d.number_of_transforms
+
+        def fn(raw, bank):
+            return pallas_fft.bi_direct_call(
+                raw, n0, batch, bank[wkey + "r"], bank[wkey + "i"], ct,
+                committed.config, committed.matmul_precision, scale,
+            )
+
+        return fn
     if kind == "direct":
         _, key, chunk, c, total = entry
         if flat_len != 2 * total:

@@ -305,6 +305,17 @@ class CommittedDescriptor:
                         self.config,
                         self.matmul_precision,
                     )
+                    if res is None:
+                        res = pallas_global.fft_axis_m2_fused_call(
+                            xr2,
+                            xi2,
+                            plan,
+                            sign,
+                            self._bank_keys,
+                            bank,
+                            self.config,
+                            self.matmul_precision,
+                        )
                     if res is not None:
                         xr = res[0].reshape(shape)
                         xi = res[1].reshape(shape)

@@ -206,6 +206,92 @@ def fft_axis_m2_call(
     return yr.reshape(*lead, l1, l2), yi.reshape(*lead, l1, l2)
 
 
+def fft_axis_m2_fused_call(
+    xr, xi, plan: Plan1D, sign: int, bank_keys, bank, config, precision=None
+):
+    """Column FFT for axis lengths L1 = a·128 (a ≥ 8), no HBM transposes.
+
+    Per (L1, T) tile: transpose to rows, run the two-stage pipeline, and
+    write through a 4D output block whose (128, a) middle axes flatten to
+    the natural frequency order (k = k1 + a·k2) for free.
+    """
+    if plan.level != Level.FUSED or len(plan.factors) != 2:
+        return None
+    a, f2 = plan.factors
+    if f2 != 128 or a < 8:
+        return None
+    l1 = plan.n
+    prec = _kernel_precision(precision, l1)
+    lead = xr.shape[:-2]
+    l2 = xr.shape[-1]
+    b = math.prod(lead) if lead else 1
+    x3r = xr.reshape(b, l1, l2)
+    x3i = xi.reshape(b, l1, l2)
+
+    t = min(256, l2)
+    while l2 % t:
+        t //= 2
+    if t < 128 and l2 >= 128:
+        return None
+
+    wa = bank_keys[("W", a, sign)]
+    tk = bank_keys[("T", a, 128, sign)]
+    wb = bank_keys[("W", 128, sign)]
+
+    in_spec = pl.BlockSpec(
+        (1, l1, t), lambda bi, ti: (bi, 0, ti), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, 128, a, t), lambda bi, ti: (bi, 0, 0, ti), memory_space=pltpu.VMEM
+    )
+
+    def kern(xr_ref, xi_ref, war, wai, tr, ti_, wbr, wbi, or_ref, oi_ref):
+        def pipeline(x):
+            x = x[0].T.reshape(t, a, 128)  # [t, n1, n2]
+            return x
+
+        ur = pipeline(xr_ref)
+        ui = pipeline(xi_ref)
+        ur = jnp.swapaxes(ur, 1, 2)  # (t, 128, a) = [t, n2, n1]
+        ui = jnp.swapaxes(ui, 1, 2)
+        ar, ai = xla_fft.complex_matmul_last(ur, ui, war[...], wai[...], prec)
+        ar, ai = xla_fft.complex_mul(ar, ai, tr[...], ti_[...])
+        ar = jnp.swapaxes(ar, 1, 2)  # [t, k1, n2]
+        ai = jnp.swapaxes(ai, 1, 2)
+        cr, ci = xla_fft.complex_matmul_last(ar, ai, wbr[...], wbi[...], prec)
+
+        def reorder(c):  # (t, a, 128) [t, k1, k2] -> (128, a, t)
+            c = jnp.swapaxes(c, 1, 2)  # (t, 128, a)
+            c = jnp.transpose(c, (1, 0, 2))  # (128, t, a)
+            return jnp.swapaxes(c, 1, 2)  # (128, a, t)
+
+        or_ref[0] = reorder(cr)
+        oi_ref[0] = reorder(ci)
+
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=(b, l2 // t),
+        in_specs=[in_spec, in_spec, _const(bank[wa + "r"]),
+                  _const(bank[wa + "i"]), _const(bank[tk + "r"]),
+                  _const(bank[tk + "i"]), _const(bank[wb + "r"]),
+                  _const(bank[wb + "i"])],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, 128, a, l2), xr.dtype)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * l1 * (a + 128) * l2,
+            bytes_accessed=4 * 4 * b * l1 * l2,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x3r, x3i, bank[wa + "r"], bank[wa + "i"], bank[tk + "r"],
+      bank[tk + "i"], bank[wb + "r"], bank[wb + "i"])
+    # (b, 128, a, l2): the (128, a) axes flatten to k = k1 + a·k2 — free.
+    return (
+        yr.reshape(*lead, l1, l2),
+        yi.reshape(*lead, l1, l2),
+    )
+
+
 def global2_raw_supported(plan: Plan1D, max_direct: int = 256) -> bool:
     """Raw variant additionally needs 128 | G1 and 128 | G2 (the in-kernel
     de/interleave walks 128-lane tiles)."""

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 import oracle
-from portfft_tpu import Descriptor, Direction
+from portfft_tpu import ComplexStorage, Descriptor, Direction
 from portfft_tpu.enums import Level
 
 F = Direction.FORWARD
@@ -62,4 +62,49 @@ def test_pallas_global_subplans():
     ref = oracle.reference_output(desc, x, F)
     flat = oracle.materialize(desc, x, F)
     out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, F, check_padding=False)
+
+
+def test_pallas_with_strided_layout():
+    # strides force the gather prologue; the leaf still runs in Pallas
+    desc = Descriptor(
+        lengths=[1024],
+        number_of_transforms=4,
+        forward_strides=[2],
+        forward_distance=2048,
+    )
+    plan = desc.commit(use_pallas=True)
+    x = oracle.gen_input(desc, 5)
+    ref = oracle.reference_output(desc, x, F)
+    flat = oracle.materialize(desc, x, F)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, F, check_padding=False)
+
+
+def test_pallas_multidim_column_passes():
+    # 2D exercising both the direct (<=256) and fused (a*128) column passes
+    for lengths in ([128, 256], [1024, 128]):
+        desc = Descriptor(lengths=lengths, number_of_transforms=2)
+        plan = desc.commit(use_pallas=True)
+        x = oracle.gen_input(desc, 6)
+        ref = oracle.reference_output(desc, x, F)
+        flat = oracle.materialize(desc, x, F)
+        out = np.asarray(plan.compute_forward(flat))
+        oracle.verify(desc, out, ref, F, check_padding=False)
+
+
+def test_pallas_split_storage():
+    desc = Descriptor(
+        lengths=[2048],
+        number_of_transforms=4,
+        complex_storage=ComplexStorage.SPLIT_COMPLEX,
+    )
+    plan = desc.commit(use_pallas=True)
+    x = oracle.gen_input(desc, 7)
+    ref = oracle.reference_output(desc, x, F)
+    flat = oracle.materialize(desc, x, F)
+    yr, yi = plan.compute_forward(
+        np.ascontiguousarray(flat.real), np.ascontiguousarray(flat.imag)
+    )
+    out = np.asarray(yr) + 1j * np.asarray(yi)
     oracle.verify(desc, out, ref, F, check_padding=False)

@@ -91,11 +91,15 @@ def register(committed) -> dict:
             tk = keys[("T", a0, 128, sign)]
             tu = bank.twiddle_fm(a0, 128, sign)
             wb = keys[("W", 128, sign)]
+            # v2 folds g output rows into dense lanes; its stage-B table has
+            # columns pre-permuted to land the fold in natural order.
+            g = pallas_fft.fold_factor(a0)
+            wb2 = bank.dft_permuted(128, sign, g) if g > 1 else wb
             names_v1 = [
                 wa + "r", wa + "i", tk + "r", tk + "i", wb + "r", wb + "i",
             ]
             names_v2 = [
-                wa + "r", wa + "i", tu + "r", tu + "i", wb + "r", wb + "i",
+                wa + "r", wa + "i", tu + "r", tu + "i", wb2 + "r", wb2 + "i",
             ]
             out[direction] = ("fused2", (names_v1, names_v2), scale, total)
     return out

@@ -450,7 +450,7 @@ def fused2_raw_call(raw, batch, plan, v_tables, config, precision=None, scale=1.
     return out.reshape(raw.shape[0])
 
 
-def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale):
+def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale, g: int = 1):
     """Layout-L variant: every tensor keeps ≥128 lanes, transposes are
     large, and the per-step op count is O(bt·a/128) instead of O(bt).
 
@@ -504,11 +504,17 @@ def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale):
         # interleave + digit reversal: pair-stack along dim 0 of a 3D
         # scratch (strided stores require the base memref's minor dim to be
         # 128), then two supported permutes
-        s2[0::2] = cr  # s2: (2a, bt, 128)
-        s2[1::2] = ci
-        v = jnp.transpose(s2[...], (1, 0, 2))  # (bt, 2a, 128)
-        v = jnp.swapaxes(v, 1, 2)  # (bt, 128, 2a) = [b, k2, 2k1+p]
-        o_ref[...] = v
+        # k2-fold: pack g output rows into one dense >=128-lane row.  W128's
+        # columns are pre-permuted so contiguous lane slices land the folded
+        # rows in natural order; the strided dim-0 scratch stores do the
+        # pair interleave (s2: (2a·g, bt, 128/g)).
+        L = 128 // g
+        for j in range(g):
+            lane = slice(j * L, (j + 1) * L)
+            s2[j * 2 * a : (j + 1) * 2 * a : 2] = cr[:, :, lane]
+            s2[j * 2 * a + 1 : (j + 1) * 2 * a : 2] = ci[:, :, lane]
+        v = jnp.transpose(s2[...], (1, 0, 2))  # (bt, 2ag, L)
+        o_ref[...] = jnp.swapaxes(v, 1, 2)  # (bt, L, 2ag)
 
     return kernel
 
@@ -550,26 +556,36 @@ def fused2_raw_v2_call(
     return _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec, scale)
 
 
+def fold_factor(a: int) -> int:
+    """k2-fold count: power of two g with 2·a·g >= 128 where possible."""
+    g = 1
+    while 2 * a * g < 128 and g < 64:
+        g *= 2
+    return g
+
+
 def _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec, scale):
+    g = fold_factor(a)
+    L = 128 // g
     x2 = raw.reshape(batch * a, 256)
     in_spec = pl.BlockSpec(
         (bt * a, 256), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (bt, 128, 2 * a), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (bt, L, 2 * a * g), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     flops = 8 * batch * n * (a + 128)
     out = pl.pallas_call(
-        _fused2_raw_v2_kernel(a, bt, prec, scale),
+        _fused2_raw_v2_kernel(a, bt, prec, scale, g),
         grid=(batch // bt,),
         in_specs=[in_spec] + [_const_spec(t) for t in tables_v2],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, 128, 2 * a), raw.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, L, 2 * a * g), raw.dtype),
         scratch_shapes=[
             pltpu.VMEM((bt * a, 128), raw.dtype),
             pltpu.VMEM((bt * a, 128), raw.dtype),
             pltpu.VMEM((256, 128), raw.dtype),
-            pltpu.VMEM((2 * a, bt, 128), raw.dtype),
+            pltpu.VMEM((2 * a * g, bt, L), raw.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,

@@ -147,6 +147,23 @@ class TwiddleBank:
             self.host[key] = None
         return key
 
+    def dft_permuted(self, f: int, sign: int, g: int) -> str:
+        """DFT matrix with columns permuted for the k2-fold output layout:
+        storage column j·(f/g) + k2h holds frequency k2h·g + j, so folding g
+        output rows into one dense ≥128-lane row lands in natural order."""
+        key = f"P{'f' if sign < 0 else 'b'}{f}_g{g}"
+        if key not in self.host:
+            re, im = tw.dft_matrix(f, sign, self.dtype)
+            L = f // g
+            sigma = np.empty(f, np.int64)
+            for j in range(g):
+                for k2h in range(L):
+                    sigma[j * L + k2h] = k2h * g + j
+            self.host[key + "r"] = np.ascontiguousarray(re[:, sigma])
+            self.host[key + "i"] = np.ascontiguousarray(im[:, sigma])
+            self.host[key] = None
+        return key
+
     def vmat(self, n: int, sign: int, chunk: int, scale: float) -> str:
         """Interleaved block-diagonal DFT matrix (see
         twiddle.interleaved_dft_matrix) — used by the raw-I/O direct kernel."""

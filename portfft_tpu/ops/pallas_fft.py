@@ -557,11 +557,15 @@ def fused2_raw_v2_call(
 
 
 def fold_factor(a: int) -> int:
-    """k2-fold count: power of two g with 2·a·g >= 128 where possible."""
-    g = 1
-    while 2 * a * g < 128 and g < 64:
-        g *= 2
-    return g
+    """k2-fold count for the v2 output block.
+
+    Folding packs g output rows into one dense ≥128-lane row (with a
+    column-permuted stage-B table), removing the lane-padded output DMA —
+    but the measured cost of the 2g narrow strided scratch stores exceeds
+    the DMA saving on v5e (N=512 regressed 124→57 GB/s at g=16; N=4096 was
+    within noise at g=2), so the fold is disabled.  The machinery stays for
+    re-evaluation on hardware where padded stores are costlier."""
+    return 1
 
 
 def _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec, scale):

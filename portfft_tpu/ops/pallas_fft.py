@@ -504,17 +504,21 @@ def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale, g: int = 1):
         # interleave + digit reversal: pair-stack along dim 0 of a 3D
         # scratch (strided stores require the base memref's minor dim to be
         # 128), then two supported permutes
-        # k2-fold: pack g output rows into one dense >=128-lane row.  W128's
-        # columns are pre-permuted so contiguous lane slices land the folded
-        # rows in natural order; the strided dim-0 scratch stores do the
-        # pair interleave (s2: (2a·g, bt, 128/g)).
-        L = 128 // g
-        for j in range(g):
-            lane = slice(j * L, (j + 1) * L)
-            s2[j * 2 * a : (j + 1) * 2 * a : 2] = cr[:, :, lane]
-            s2[j * 2 * a + 1 : (j + 1) * 2 * a : 2] = ci[:, :, lane]
-        v = jnp.transpose(s2[...], (1, 0, 2))  # (bt, 2ag, L)
-        o_ref[...] = jnp.swapaxes(v, 1, 2)  # (bt, L, 2ag)
+        if g == 1:
+            s2[0::2] = cr  # s2: (2a, bt, 128)
+            s2[1::2] = ci
+        else:
+            # k2-fold: pack g output rows into one dense >=128-lane row;
+            # W128's columns are pre-permuted so contiguous lane slices
+            # land the folded rows in natural order
+            # (s2: (2a·g, bt, 128/g)).
+            L = 128 // g
+            for j in range(g):
+                lane = slice(j * L, (j + 1) * L)
+                s2[j * 2 * a : (j + 1) * 2 * a : 2] = cr[:, :, lane]
+                s2[j * 2 * a + 1 : (j + 1) * 2 * a : 2] = ci[:, :, lane]
+        v = jnp.transpose(s2[...], (1, 0, 2))  # (bt, 2ag, 128/g)
+        o_ref[...] = jnp.swapaxes(v, 1, 2)  # (bt, 128/g, 2ag)
 
     return kernel
 

@@ -543,12 +543,13 @@ def fused2_raw_v2_call(
 
     def bytes_est(bt_):
         L = bt_ * 128
+        out_lanes = max(2 * a * fold_factor(a), 128)  # VMEM pads lanes
         return (
             2 * bt_ * 2 * n * 4        # in blocks (×2 buffers)
             + 2 * bt_ * a * 128 * 4    # plane scratches
             + 6 * a * L * 4            # stage tensors
             + 2 * a * L * 4            # s2
-            + 2 * 2 * L * 2 * a * 4    # out (×2 buffers, lanes 2a)
+            + 2 * bt_ * 128 * out_lanes * 4  # out (×2 buffers, lane-padded)
         )
 
     while bt > config.sublane and (

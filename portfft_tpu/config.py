@@ -35,10 +35,10 @@ class DeviceConfig:
     #: contraction dimension exactly; every factor ≤ this is one matmul pass.
     max_factor: int = 128
     #: Sizes at or below this are planned as ONE direct DFT matmul
-    #: (level DIRECT), regardless of primality.  256 keeps the two-stage
-    #: fused kernel's digit-reversal output block (lane dim n/128) from
-    #: degenerating at tiny split factors.
-    direct_threshold: int = 256
+    #: (level DIRECT), regardless of primality.  512 keeps the tiny-split
+    #: fused kernels (which Mosaic compiles poorly) out of the plan space
+    #: and lets the two-pass global engine cover n up to 512·512 = 262144.
+    direct_threshold: int = 512
     #: Any prime factor above this triggers the Bluestein chirp-z path.
     bluestein_threshold: int = 128
     #: Preferred batch-tile (rows per Pallas grid step) for fused kernels.

@@ -34,7 +34,8 @@ B = Direction.BACKWARD
         (128, Level.DIRECT),
         (251, Level.DIRECT),  # prime <= direct threshold: one matmul
         (256, Level.DIRECT),
-        (512, Level.FUSED),
+        (512, Level.DIRECT),
+        (1024, Level.FUSED),
         (4096, Level.FUSED),
         (8192, Level.FUSED),
         (131072, Level.GLOBAL),

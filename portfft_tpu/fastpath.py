@@ -85,7 +85,9 @@ def register(committed) -> dict:
                 plan0, committed.config.direct_threshold
             ):
                 out[direction] = ("global2", sign, scale, total)
-        elif pallas_fft.fused2_raw_supported(n0, plan0):
+        elif pallas_fft.fused2_raw_supported(
+            n0, plan0, d.number_of_transforms
+        ):
             a0 = plan0.factors[0]
             wa = keys[("W", a0, sign)]
             tk = keys[("T", a0, 128, sign)]

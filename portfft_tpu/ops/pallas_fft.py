@@ -391,12 +391,19 @@ def _fused2_raw_kernel(a: int, bt: int, precision, scale=1.0):
     return kernel
 
 
-def fused2_raw_supported(n: int, plan: Plan1D) -> bool:
-    return (
+def fused2_raw_supported(n: int, plan: Plan1D, batch: int = 1) -> bool:
+    if not (
         len(plan.factors) == 2
         and plan.factors[1] == 128
         and plan.factors[0] >= 3
-    )
+    ):
+        return False
+    # The kernel's HBM output array (batch, 128, 2a) is lane-padded to 128
+    # when 2a < 128 — at 2a=8 that is a 16x allocation blowup that OOMs the
+    # compile at large batch.  Bound the padded footprint.
+    a = plan.factors[0]
+    padded_out = batch * 128 * max(2 * a, 128) * 4
+    return padded_out <= (4 << 30)
 
 
 def fused2_raw_call(raw, batch, plan, v_tables, config, precision=None, scale=1.0):

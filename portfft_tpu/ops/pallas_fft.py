@@ -167,6 +167,11 @@ def fused_chain(
 
     lead = xr.shape[:-1]
     b = math.prod(lead) if lead else 1
+    if two_stage and not _interpret_mode():
+        # the (b, 128, a) output arrays are lane-padded to 128 in HBM;
+        # bound the padded allocation (see fused2_raw_supported)
+        if 2 * b * 128 * 128 * xr.dtype.itemsize > (4 << 30):
+            return None
     xr2 = xr.reshape(b, n)
     xi2 = xi.reshape(b, n)
 

@@ -75,7 +75,9 @@ def register(committed) -> dict:
         if not packed:
             continue
         if plan0.level == Level.DIRECT:
-            sup = pallas_fft.direct_raw_supported(n0, total)
+            sup = pallas_fft.direct_raw_supported(
+                n0, total, committed.config.vmem_budget
+            )
             if sup:
                 chunk, c = sup
                 key = bank.vmat(n0, sign, chunk, scale)

@@ -308,11 +308,14 @@ def _direct_raw_kernel(chunk: int, n_chunks: int, precision):
     return kernel
 
 
-def direct_raw_supported(n: int, total_complex: int) -> tuple[int, int] | None:
+def direct_raw_supported(
+    n: int, total_complex: int, vmem_budget: int = 9 << 20
+) -> tuple[int, int] | None:
     """If the raw fast path applies, return (chunk_lanes, rows); else None.
 
-    Requires the block-diagonal period lcm(2n, 256) to stay MXU-sized and
-    the flat buffer to tile into (rows, C) with 128-row blocks.
+    Requires the block-diagonal period lcm(2n, 256) to stay MXU-sized, the
+    flat buffer to tile into (rows, C) with 128-row blocks, and the V table
+    plus double-buffered in/out blocks to fit the VMEM budget.
     """
     two_n = 2 * n
     chunk = two_n
@@ -321,10 +324,12 @@ def direct_raw_supported(n: int, total_complex: int) -> tuple[int, int] | None:
     if chunk % 256 or chunk > 1024:
         return None
     total = 2 * total_complex
-    # pick a row width C: multiple of chunk, rows multiple of 128
+    table_bytes = chunk * chunk * 4
+    # pick a row width C: multiple of chunk, rows multiple of 128, in budget
     for mult in (8, 4, 2, 1):
         c = chunk * mult
-        if total % (c * 128) == 0:
+        block_bytes = 4 * 128 * c * 4  # in+out, x2 pipeline buffers
+        if total % (c * 128) == 0 and table_bytes + block_bytes <= vmem_budget:
             return chunk, c
     return None
 

@@ -75,8 +75,11 @@ def register(committed) -> dict:
         if not packed:
             continue
         if plan0.level == Level.DIRECT:
+            # this kernel has no extra scratch: allow a larger share of
+            # VMEM than the general budget (restores 4096-lane blocks at
+            # N=256 while keeping the 512-point V table in bounds)
             sup = pallas_fft.direct_raw_supported(
-                n0, total, committed.config.vmem_budget
+                n0, total, int(committed.config.vmem_bytes * 0.75)
             )
             if sup:
                 chunk, c = sup

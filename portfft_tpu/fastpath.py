@@ -82,9 +82,9 @@ def register(committed) -> dict:
                 n0, total, int(committed.config.vmem_bytes * 0.75)
             )
             if sup:
-                chunk, c = sup
+                chunk, rt = sup
                 key = bank.vmat(n0, sign, chunk, scale)
-                out[direction] = ("direct", key, chunk, c, total)
+                out[direction] = ("direct", key, chunk, rt, total)
         elif plan0.level == Level.GLOBAL:
             if pallas_global.global2_raw_supported(
                 plan0, committed.config.direct_threshold
@@ -134,13 +134,13 @@ def build_fn(committed, direction, entry, flat_len: int):
 
         return fn
     if kind == "direct":
-        _, key, chunk, c, total = entry
+        _, key, chunk, rt, total = entry
         if flat_len != 2 * total:
             return None
 
         def fn(raw, bank):
             return pallas_fft.direct_raw_call(
-                raw, d.lengths[0], bank[key + "v"], chunk, c,
+                raw, d.lengths[0], bank[key + "v"], chunk, rt,
                 committed.config, committed.matmul_precision,
             )
 

@@ -294,16 +294,22 @@ def _generic_chain_call(
     )(xr2, xi2, *tables)
 
 
-def _direct_raw_kernel(chunk: int, n_chunks: int, precision):
-    """PACKED interleaved direct FFT: per chunk of lanes, one real matmul
-    against the interleaved block-diagonal DFT matrix — deinterleave, DFT,
-    scale and reinterleave in a single MXU pass."""
+def _direct_raw_kernel(rt: int, chunk: int, precision):
+    """PACKED interleaved direct FFT: one real matmul per block against the
+    interleaved block-diagonal DFT matrix — deinterleave, DFT, scale and
+    reinterleave in a single MXU pass.
+
+    The block arrives as a (rt·chunk/128, 128) tile of the flat buffer's
+    native (X, 128) view — the only 2D view that shares the flat array's
+    tiled HBM layout, so no relayout pass is paid at the kernel boundary
+    (a jnp.reshape of a flat array to (rows, c>128) materializes a full
+    extra HBM round trip on TPU; measured +35% end-to-end).  The lane
+    merge/split reshapes below stay inside VMEM and are free."""
 
     def kernel(x_ref, v_ref, o_ref):
-        v = v_ref[...]
-        for j in range(n_chunks):
-            sl = slice(j * chunk, (j + 1) * chunk)
-            o_ref[:, sl] = _mm(x_ref[:, sl], v, precision)
+        blk = x_ref.shape[0]
+        u = x_ref[...].reshape(rt, chunk)
+        o_ref[...] = _mm(u, v_ref[...], precision).reshape(blk, 128)
 
     return kernel
 
@@ -311,11 +317,12 @@ def _direct_raw_kernel(chunk: int, n_chunks: int, precision):
 def direct_raw_supported(
     n: int, total_complex: int, vmem_budget: int = 9 << 20
 ) -> tuple[int, int] | None:
-    """If the raw fast path applies, return (chunk_lanes, rows); else None.
+    """If the raw fast path applies, return (chunk_lanes, row_tile); else
+    None.
 
     Requires the block-diagonal period lcm(2n, 256) to stay MXU-sized, the
-    flat buffer to tile into (rows, C) with 128-row blocks, and the V table
-    plus double-buffered in/out blocks to fit the VMEM budget.
+    flat buffer to tile into (row_tile, chunk) matmul blocks, and the V
+    table plus double-buffered in/out blocks to fit the VMEM budget.
     """
     two_n = 2 * n
     chunk = two_n
@@ -325,30 +332,31 @@ def direct_raw_supported(
         return None
     total = 2 * total_complex
     table_bytes = chunk * chunk * 4
-    # pick a row width C: multiple of chunk, rows multiple of 128, in budget
-    for mult in (8, 4, 2, 1):
-        c = chunk * mult
-        block_bytes = 4 * 128 * c * 4  # in+out, x2 pipeline buffers
-        if total % (c * 128) == 0 and table_bytes + block_bytes <= vmem_budget:
-            return chunk, c
+    # pick the matmul row tile: in/out blocks double-buffered by the Pallas
+    # pipeline, plus ~3 block-sized x3-scheme temporaries
+    for rt in (1024, 512, 256, 128, 64, 32, 16, 8):
+        block_bytes = 7 * rt * chunk * 4
+        if total % (chunk * rt) == 0 and table_bytes + block_bytes <= vmem_budget:
+            return chunk, rt
     return None
 
 
-def direct_raw_call(raw, n, v_table, chunk, c, config, precision=None):
+def direct_raw_call(raw, n, v_table, chunk, rt, config, precision=None):
     """raw (2M,) PACKED interleaved -> transformed raw (2M,)."""
     total = raw.shape[0]
-    rows = total // c
-    x2 = raw.reshape(rows, c)
-    rt = 128
+    x2 = raw.reshape(total // 128, 128)  # layout-free view of the flat buffer
+    blk = rt * chunk // 128
     prec = _kernel_precision(precision, n)
-    data_spec = pl.BlockSpec((rt, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    flops = 2 * rows * c * chunk
+    data_spec = pl.BlockSpec(
+        (blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    flops = 2 * total * chunk
     out = pl.pallas_call(
-        _direct_raw_kernel(chunk, c // chunk, prec),
-        grid=(rows // rt,),
+        _direct_raw_kernel(rt, chunk, prec),
+        grid=(total // (rt * chunk),),
         in_specs=[data_spec, _const_spec(v_table)],
         out_specs=data_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, c), raw.dtype),
+        out_shape=jax.ShapeDtypeStruct((total // 128, 128), raw.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=2 * total * 4, transcendentals=0
         ),

@@ -410,16 +410,20 @@ def _fused2_raw_kernel(a: int, bt: int, precision, scale=1.0):
 
 
 def fused2_raw_supported(n: int, plan: Plan1D, batch: int = 1) -> bool:
+    """True if either fused2 raw kernel (flat v2 preferred, padded v1
+    fallback) can run this plan."""
     if not (
         len(plan.factors) == 2
         and plan.factors[1] == 128
         and plan.factors[0] >= 3
     ):
         return False
-    # The kernel's HBM output array (batch, 128, 2a) is lane-padded to 128
-    # when 2a < 128 — at 2a=8 that is a 16x allocation blowup that OOMs the
-    # compile at large batch.  Bound the padded footprint.
     a = plan.factors[0]
+    if fold_factor(a) > 0:
+        return True
+    # v1 fallback: its HBM output array (batch, 128, 2a) is lane-padded to
+    # 128 when 2a < 128 — at 2a=8 that is a 16x allocation blowup that OOMs
+    # the compile at large batch.  Bound the padded footprint.
     padded_out = batch * 128 * max(2 * a, 128) * 4
     return padded_out <= (4 << 30)
 
@@ -475,44 +479,43 @@ def fused2_raw_call(raw, batch, plan, v_tables, config, precision=None, scale=1.
     return out.reshape(raw.shape[0])
 
 
-def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale, g: int = 1):
-    """Layout-L variant: every tensor keeps ≥128 lanes, transposes are
-    large, and the per-step op count is O(bt·a/128) instead of O(bt).
+def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale, g: int):
+    """Layout-L two-stage kernel, flat-view I/O: every tensor keeps ≥128
+    lanes, transposes are large, and the HBM-side blocks are tiles of the
+    flat buffer's native (X, 128) view — no relayout pass at either kernel
+    boundary (see _direct_raw_kernel).
 
     Data flow (per grid step, rows R = bt·a, lanes L = bt·128):
-      x (R, 256) --tile-transposes--> planes (R, 128)        [(b,n1), n2]
+      in block (2R, 128) --lane-merge--> x (R, 256)          [(b,n1), 2n2+p]
+      (128, 256) tile transposes -> planes (R, 128)          [(b,n1), n2]
       sub-block scatter -> (a, bt, 128)                      [n1, b, n2]
       view (a, L); stage A = W_a @ X (left matmul)           [k1, (b,n2)]
       view (a, bt, 128); twiddle T'(a,1,128); dot3d W_128    [k1, b, k2]
-      view (a, L); pair-stack scratch (2a, L); transpose     -> (L, 2a)
-      out rows (b·128 + k2), cols (2k1+p): natural PACKED interleaved.
+      pair-stack scratch s2 (2a·g, bt, 128/g) with the k2-fold (g = 128/2a
+      dense output rows, stage-B table columns pre-permuted so lane slices
+      land in natural order); two permutes -> (bt, 128/g, 2ag); lane
+      merge/split to the (2R, 128) out block: natural PACKED interleaved.
     """
 
     def kernel(x_ref, war, wai, tr, ti, wbr, wbi, o_ref, pr, pi, s3, s2):
         rows = bt * a
-        n_tiles = rows // 128
+        x = x_ref[...].reshape(rows, 256)
         # deinterleave via (128, 256) tile transposes
-        for t in range(n_tiles):
+        for t in range(rows // 128):
             sl = slice(t * 128, (t + 1) * 128)
-            s3[...] = x_ref[sl, :].T
+            s3[...] = x[sl, :].T
             pr[sl, :] = s3[0::2, :].T
             pi[sl, :] = s3[1::2, :].T
         # rows (b, n1) -> (a, bt, 128) via per-batch sub-block moves
-        xr3 = pr[...].reshape(bt, a, 128)
-        xi3 = pi[...].reshape(bt, a, 128)
-        xr3 = jnp.transpose(xr3, (1, 0, 2))
-        xi3 = jnp.transpose(xi3, (1, 0, 2))
+        xr3 = jnp.transpose(pr[...].reshape(bt, a, 128), (1, 0, 2))
+        xi3 = jnp.transpose(pi[...].reshape(bt, a, 128), (1, 0, 2))
         # stage A: left matmul over n1 (DFT matrices are symmetric)
         L = bt * 128
         xr2 = xr3.reshape(a, L)
         xi2 = xi3.reshape(a, L)
         war_, wai_ = war[...], wai[...]
-        rr = _mm(war_, xr2, precision)
-        ii = _mm(wai_, xi2, precision)
-        ri = _mm(wai_, xr2, precision)
-        ir = _mm(war_, xi2, precision)
-        ar2 = rr - ii
-        ai2 = ri + ir
+        ar2 = _mm(war_, xr2, precision) - _mm(wai_, xi2, precision)
+        ai2 = _mm(wai_, xr2, precision) + _mm(war_, xi2, precision)
         # twiddle W_n^{k1·n2}: tables (a, 128) broadcast over the batch dim
         ar3 = ar2.reshape(a, bt, 128)
         ai3 = ai2.reshape(a, bt, 128)
@@ -533,19 +536,28 @@ def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale, g: int = 1):
             s2[0::2] = cr  # s2: (2a, bt, 128)
             s2[1::2] = ci
         else:
-            # k2-fold: pack g output rows into one dense >=128-lane row;
-            # W128's columns are pre-permuted so contiguous lane slices
-            # land the folded rows in natural order
-            # (s2: (2a·g, bt, 128/g)).
-            L = 128 // g
+            Lg = 128 // g
             for j in range(g):
-                lane = slice(j * L, (j + 1) * L)
+                lane = slice(j * Lg, (j + 1) * Lg)
                 s2[j * 2 * a : (j + 1) * 2 * a : 2] = cr[:, :, lane]
                 s2[j * 2 * a + 1 : (j + 1) * 2 * a : 2] = ci[:, :, lane]
         v = jnp.transpose(s2[...], (1, 0, 2))  # (bt, 2ag, 128/g)
-        o_ref[...] = jnp.swapaxes(v, 1, 2)  # (bt, 128/g, 2ag)
+        v = jnp.swapaxes(v, 1, 2)  # (bt, 128/g, 2ag) = natural scalar order
+        o_ref[...] = v.reshape(2 * rows, 128)
 
     return kernel
+
+
+def fold_factor(a: int) -> int:
+    """k2-fold count g for the flat-output block: pack g output rows of 2a
+    scalars into one dense 128-lane row (with a column-permuted stage-B
+    table) so the out block is a tile of the flat buffer's (X, 128) view.
+    2a·g must equal a multiple of 128 exactly; g=1 when 2a already is."""
+    if (2 * a) % 128 == 0:
+        return 1
+    if 128 % (2 * a) == 0:
+        return 128 // (2 * a)
+    return 0
 
 
 def fused2_raw_v2_call(
@@ -553,82 +565,63 @@ def fused2_raw_v2_call(
     bt_override: int | None = None,
 ):
     """tables_v2 = [Wa_r, Wa_i, T'_r, T'_i, W128_r, W128_i] with T' in
-    (f, m) = (a, 128) orientation."""
+    (f, m) = (a, 128) orientation and the W128 columns permuted for the
+    k2-fold when fold_factor(a) > 1."""
     n = plan.n
     a = plan.factors[0]
+    g = fold_factor(a)
+    if g == 0:
+        return None
     prec = _kernel_precision(precision, n)
 
-    bt = bt_override or min(plan.batch_tile, config.batch_tile)
-    if bt_override:
-        if batch % bt or (bt * a) % 128:
-            return None
-        return _fused2_v2_launch(
-            raw, batch, plan, tables_v2, a, n, bt, prec, scale
-        )
+    def viable(bt_):
+        return batch % bt_ == 0 and (bt_ * a) % 128 == 0
 
     def bytes_est(bt_):
         L = bt_ * 128
-        out_lanes = max(2 * a * fold_factor(a), 128)  # VMEM pads lanes
         return (
-            2 * bt_ * 2 * n * 4        # in blocks (×2 buffers)
+            2 * 2 * bt_ * 2 * n * 4    # in/out blocks (×2 buffers each)
             + 2 * bt_ * a * 128 * 4    # plane scratches
-            + 6 * a * L * 4            # stage tensors
+            + 8 * a * L * 4            # stage tensors
             + 2 * a * L * 4            # s2
-            + 2 * bt_ * 128 * out_lanes * 4  # out (×2 buffers, lane-padded)
         )
 
-    while bt > config.sublane and (
-        bytes_est(bt) > config.vmem_budget or batch % bt
-    ):
-        bt //= 2
-    if batch % bt or (bt * a) % 128:
+    bt = bt_override or min(plan.batch_tile, config.batch_tile)
+    if not bt_override:
+        while bt > 1 and (bytes_est(bt) > config.vmem_budget or not viable(bt)):
+            bt //= 2
+    if not viable(bt):
         return None
-    return _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec, scale)
+    return _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec,
+                             scale, g)
 
 
-def fold_factor(a: int) -> int:
-    """k2-fold count for the v2 output block.
-
-    Folding packs g output rows into one dense ≥128-lane row (with a
-    column-permuted stage-B table), removing the lane-padded output DMA —
-    but the measured cost of the 2g narrow strided scratch stores exceeds
-    the DMA saving on v5e (N=512 regressed 124→57 GB/s at g=16; N=4096 was
-    within noise at g=2), so the fold is disabled.  The machinery stays for
-    re-evaluation on hardware where padded stores are costlier."""
-    return 1
-
-
-def _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec, scale):
-    g = fold_factor(a)
-    L = 128 // g
-    x2 = raw.reshape(batch * a, 256)
-    in_spec = pl.BlockSpec(
-        (bt * a, 256), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    out_spec = pl.BlockSpec(
-        (bt, L, 2 * a * g), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
+def _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec, scale, g):
+    total = raw.shape[0]
+    x2 = raw.reshape(total // 128, 128)  # layout-free view
+    blk = 2 * bt * a  # rows of the (X, 128) view per grid step
+    spec = pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     flops = 8 * batch * n * (a + 128)
     out = pl.pallas_call(
         _fused2_raw_v2_kernel(a, bt, prec, scale, g),
         grid=(batch // bt,),
-        in_specs=[in_spec] + [_const_spec(t) for t in tables_v2],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, L, 2 * a * g), raw.dtype),
+        in_specs=[spec] + [_const_spec(t) for t in tables_v2],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((total // 128, 128), raw.dtype),
         scratch_shapes=[
             pltpu.VMEM((bt * a, 128), raw.dtype),
             pltpu.VMEM((bt * a, 128), raw.dtype),
             pltpu.VMEM((256, 128), raw.dtype),
-            pltpu.VMEM((2 * a * g, bt, L), raw.dtype),
+            pltpu.VMEM((2 * a * g, bt, 128 // g), raw.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=2 * raw.shape[0] * 4,
+            bytes_accessed=2 * total * 4,
             transcendentals=0,
         ),
         interpret=_interpret_mode(),
     )(x2, *tables_v2)
-    return out.reshape(raw.shape[0])
+    return out.reshape(total)
 
 
 def _pairswap(u, axis):

@@ -154,10 +154,13 @@ def build_fn(committed, direction, entry, flat_len: int):
         keys = committed._bank_keys
 
         def fn(raw, bank):
-            return pallas_global.global2_raw_call(
+            res = pallas_global.global2_raw_call(
                 raw, batch, plan0, sign, keys, bank, committed.config,
                 committed.matmul_precision, scale,
             )
+            if res is None:  # no viable pass tiling for this shape
+                raise RawFastUnavailable()
+            return res
 
         return fn
     # fused2

@@ -68,7 +68,9 @@ def get_lib():
         lib.pf_pick_batch_tile.restype = i64
         lib.pf_pick_batch_tile.argtypes = [i64, p64, ctypes.c_int, i64, i64, i64, i64]
         lib.pf_global_split.restype = ctypes.c_int
-        lib.pf_global_split.argtypes = [i64, ctypes.c_int, i64, i64, i64, i64, p64, p64]
+        lib.pf_global_split.argtypes = [
+            i64, ctypes.c_int, i64, i64, i64, i64, i64, p64, p64
+        ]
         lib.pf_overlap_check_1d.restype = i64
         lib.pf_overlap_check_1d.argtypes = [i64, i64, i64, i64]
         _lib = lib
@@ -91,7 +93,8 @@ def factor_chain(n: int, max_factor: int):
 
 
 def global_split(
-    n, max_factor, direct_threshold, sublane, itemsize, vmem_budget
+    n, max_factor, direct_threshold, sublane, itemsize, vmem_budget,
+    pass_budget,
 ):
     lib = get_lib()
     if lib is None:
@@ -100,7 +103,7 @@ def global_split(
     g2 = ctypes.c_int64()
     ok = lib.pf_global_split(
         n, max_factor, direct_threshold, sublane, itemsize, vmem_budget,
-        ctypes.byref(g1), ctypes.byref(g2),
+        pass_budget, ctypes.byref(g1), ctypes.byref(g2),
     )
     if not ok:
         return None

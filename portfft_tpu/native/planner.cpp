@@ -147,15 +147,52 @@ static int side_ok(int64_t v, int max_factor, int64_t direct_threshold,
          vmem_budget;
 }
 
+// Preference order (mirrors planner.py _global_split):
+//   1. both halves DIRECT (<= direct_threshold, 8-aligned), balanced;
+//   2. G1 = a*128 lane-fused (a | 128) with G2 DIRECT, minimizing the MXU
+//      work (a + 128 + G2), pass-1 working set bounded by pass_budget;
+//   3. legacy balanced search over anything plannable.
 int pf_global_split(int64_t n, int max_factor, int64_t direct_threshold,
                     int64_t sublane, int64_t itemsize, int64_t vmem_budget,
-                    int64_t* g1_out, int64_t* g2_out) {
+                    int64_t pass_budget, int64_t* g1_out, int64_t* g2_out) {
   int64_t root = 1;
   while ((root + 1) * (root + 1) <= n) ++root;
+  // 1) both-direct balanced
   for (int64_t g1 = root; g1 > 1; --g1) {
     if (n % g1) continue;
     int64_t g2 = n / g1;
-    // prefer (g2, g1) then (g1, g2) — matches the Python planner order
+    if (g2 <= direct_threshold && g1 <= direct_threshold && g2 % 8 == 0 &&
+        g1 % 8 == 0) {
+      *g1_out = g2;
+      *g2_out = g1;
+      return 1;
+    }
+  }
+  // 2) one-fused: G1 = a*128, G2 direct, cheapest MXU work first
+  int64_t best_cost = -1, best_g1 = 0, best_g2 = 0;
+  for (int64_t a = 8; a <= 128; a *= 2) {
+    int64_t g1 = a * 128;
+    if (n % g1) continue;
+    int64_t g2 = n / g1;
+    if (g2 <= 1 || g2 > direct_threshold || g2 % 8) continue;
+    if (18 * 64 * g1 * itemsize + 2 * 128 * a * 128 * itemsize > pass_budget)
+      continue;
+    int64_t cost = a + 128 + g2;
+    if (best_cost < 0 || cost < best_cost) {
+      best_cost = cost;
+      best_g1 = g1;
+      best_g2 = g2;
+    }
+  }
+  if (best_cost >= 0) {
+    *g1_out = best_g1;
+    *g2_out = best_g2;
+    return 1;
+  }
+  // 3) legacy balanced search
+  for (int64_t g1 = root; g1 > 1; --g1) {
+    if (n % g1) continue;
+    int64_t g2 = n / g1;
     if (side_ok(g2, max_factor, direct_threshold, sublane, itemsize,
                 vmem_budget) &&
         side_ok(g1, max_factor, direct_threshold, sublane, itemsize,

@@ -4,8 +4,10 @@ TPU-native redesign of the reference's global engine
 (common/global.hpp:303-401, global_dispatcher.hpp:312-412): where the
 reference launches one kernel per factor per batch chunk plus explicit
 transpose kernels between passes with double-buffered scratch, this engine
-needs exactly TWO Pallas kernels for n = G1·G2 (each Gi solved by a single
-DFT matmul), with the inter-factor transposes folded into the BlockSpec
+needs exactly TWO Pallas kernels for n = G1·G2 (each Gi solved in-register
+by the lane-DFT helper: one DFT matmul for direct sizes, the two-stage
+[a, 128] pipeline for fused sizes up to a·128 — covering n ≤ 2^20 and
+beyond), with the inter-factor transposes folded into the BlockSpec
 index maps — the data is never transposed in HBM, only block-locally in
 VMEM where the transpose unit is free-ish:
 
@@ -33,18 +35,156 @@ from . import xla_fft
 from .pallas_fft import _kernel_precision
 
 
+def _sub_lane_ok(p: Plan1D, max_direct: int) -> bool:
+    """A sub-transform the in-kernel lane-DFT helper can solve: DIRECT (one
+    matmul) or the Mosaic-native FUSED shape [a, 128] with a | 128 (the
+    natural-order k2-fold needs integer g = 128/a)."""
+    if p.level == Level.DIRECT:
+        return p.n <= max_direct and p.n % 8 == 0
+    return (
+        p.level == Level.FUSED
+        and len(p.factors) == 2
+        and p.factors[1] == 128
+        and 128 % p.factors[0] == 0
+    )
+
+
 def global2_supported(plan: Plan1D, max_direct: int = 256) -> bool:
     if plan.level != Level.GLOBAL:
         return False
     g1, g2 = plan.sub
-    return (
-        g1.level == Level.DIRECT
-        and g2.level == Level.DIRECT
-        and g1.n <= max_direct
-        and g2.n <= max_direct
-        and g1.n % 8 == 0
-        and g2.n % 8 == 0
+    return _sub_lane_ok(g1, max_direct) and _sub_lane_ok(g2, max_direct)
+
+
+def _sub_table_names(sub: Plan1D, sign: int, bank_keys) -> list[str]:
+    """Bank array names the lane-DFT helper needs for one sub-transform."""
+    if sub.level == Level.DIRECT:
+        w = bank_keys[("W", sub.n, sign)]
+        return [w + "r", w + "i"]
+    a = sub.factors[0]
+    g = 128 // a
+    wa = bank_keys[("W", a, sign)]
+    u = bank_keys[("U", a, 128, sign)]
+    p = bank_keys[("P", 128, sign, g)]
+    return [wa + "r", wa + "i", u + "r", u + "i", p + "r", p + "i"]
+
+
+def _fold_scratches(sub: Plan1D, t: int, dtype) -> list:
+    """Restack scratch refs for a FUSED sub (none for DIRECT).  Oriented
+    (128, a, t) so the lane dimension is the (large) tile width — at t=128
+    the scratch is completely unpadded."""
+    if sub.level == Level.DIRECT:
+        return []
+    a = sub.factors[0]
+    return [pltpu.VMEM((128, a, t), dtype), pltpu.VMEM((128, a, t), dtype)]
+
+
+def _lane_dft(xr, xi, sub: Plan1D, tabs, prec, fold, gtw=None):
+    """DFT over the lane axis of (T, n) plane tensors, natural output order.
+
+    DIRECT: one complex matmul.  FUSED [a, 128]: the two-stage pipeline of
+    ``_fused2_raw_v2_kernel`` adapted to plane tensors — stage-A left matmul
+    over the a-digit, inter-factor twiddle, stage-B matmul against the
+    column-permuted W_128 (storage column c = j·a + k2h holds frequency
+    k2h·g + j), then a g-slice restack through the ``fold`` scratch refs:
+
+        s[j·a + k1, k2h, t] = C[k1, t, j·a + k2h]
+        out lane index       = k2h·128 + (j·a + k1) = k1 + a·(k2h·g + j) ✓
+
+    so the lane order comes out natural (k = k1 + a·k2) and dense, and the
+    surrounding pass logic is identical for DIRECT and FUSED subs.
+
+    ``gtw`` (pass 1 only): the factored global twiddle refs
+    (z1, z2, each sliced (t, 128)) — W_n^{k1·n2} split as T2 applied pre-fold on
+    (a, t, 128) (columns pre-permuted by σ to match the storage order) and
+    T1 applied post-fold on (128, a, t), both as legal middle-unit
+    broadcasts.  This replaces the dense (g2, g1) twiddle table and its
+    per-block DMA (~25% of pass-1 traffic).
+
+    The restack uses only ops proven on hardware by the v2 raw kernel:
+    contiguous sublane stores into a ≤128-lane scratch, (1,0,2) permutes,
+    last-two transposes, and 128-multiple lane merges.
+    """
+    from .pallas_fft import _mm
+
+    if sub.level == Level.DIRECT:
+        wr, wi = tabs
+        return xla_fft.complex_matmul_last(xr, xi, wr[...], wi[...], prec)
+    war, wai, ur, ui, wpr, wpi = tabs
+    sr, si = fold
+    a = sub.factors[0]
+    g = 128 // a
+    t = xr.shape[0]
+    # (T, n) -> (a, T, 128): lane-split reshape + leading permute
+    x3r = jnp.transpose(xr.reshape(t, a, 128), (1, 0, 2))
+    x3i = jnp.transpose(xi.reshape(t, a, 128), (1, 0, 2))
+    # stage A: left matmul over the a-digit (DFT matrices are symmetric)
+    x2r = x3r.reshape(a, t * 128)
+    x2i = x3i.reshape(a, t * 128)
+    war_, wai_ = war[...], wai[...]
+    ar = _mm(war_, x2r, prec) - _mm(wai_, x2i, prec)
+    ai = _mm(wai_, x2r, prec) + _mm(war_, x2i, prec)
+    # inter-factor twiddle W_sub^{k1·n2}: tables (a, 128) broadcast over T
+    ar3 = ar.reshape(a, t, 128)
+    ai3 = ai.reshape(a, t, 128)
+    ar3, ai3 = xla_fft.complex_mul(
+        ar3, ai3, ur[...].reshape(a, 1, 128), ui[...].reshape(a, 1, 128)
     )
+    # stage B against the permuted 128-point table
+    cr, ci = xla_fft.complex_matmul_last(ar3, ai3, wpr[...], wpi[...], prec)
+    if gtw is not None:
+        z2r = gtw[2][...].reshape(1, t, 128)
+        z2i = gtw[3][...].reshape(1, t, 128)
+        cr, ci = xla_fft.complex_mul(cr, ci, z2r, z2i)
+    for j in range(g):
+        sl = slice(j * a, (j + 1) * a)
+        sr[sl] = jnp.swapaxes(cr[:, :, sl], 1, 2)  # (a, a, t) [k1, k2h, t]
+        si[sl] = jnp.swapaxes(ci[:, :, sl], 1, 2)
+    mr, mi = sr[...], si[...]
+    if gtw is not None:
+        z1r = jnp.swapaxes(gtw[0][...], 0, 1).reshape(128, 1, t)
+        z1i = jnp.swapaxes(gtw[1][...], 0, 1).reshape(128, 1, t)
+        mr, mi = xla_fft.complex_mul(mr, mi, z1r, z1i)
+
+    def unfold(m):
+        v = jnp.transpose(m, (1, 0, 2))  # (a, 128, t) [k2h, q, t]
+        v = jnp.swapaxes(v, 1, 2)        # (a, t, 128) [k2h, t, q]
+        v = jnp.transpose(v, (1, 0, 2))  # (t, a, 128) [t, k2h, q]
+        return v.reshape(t, a * 128)     # lane k2h·128 + j·a + k1 = k
+
+    return unfold(mr), unfold(mi)
+
+
+def _pick_tile(g_other: int, sub_lane: Plan1D, n_lane: int, vmem: int,
+               cap: int, step: int) -> int:
+    """Tile width over the non-transform axis: the largest multiple of
+    ``step`` dividing ``g_other`` (or g_other itself — full-dim blocks are
+    always legal) whose estimated VMEM working set fits; 0 when none does.
+
+    ``step`` encodes the Pallas block-divisibility rule: any non-full block
+    dimension in the lane position must be a multiple of 128 scalars (64
+    complex on the raw side's interleaved axis).
+    """
+    fused = sub_lane.level != Level.DIRECT
+
+    def est(t_):
+        e = t_ * n_lane * 4
+        if fused:
+            a = sub_lane.factors[0]
+            # io blocks + stage tensors/temps + fold scratch (lane-padded
+            # below t=128)
+            return 18 * e + 2 * 128 * a * max(t_, 128) * 4
+        return 14 * e
+
+    t = min(cap, g_other)
+    t -= t % step
+    while t >= step:
+        if g_other % t == 0 and est(t) <= vmem:
+            return t
+        t -= step
+    if est(g_other) <= vmem:
+        return g_other
+    return 0
 
 
 def _const(t):
@@ -68,60 +208,85 @@ def global2_call(
     x3r = xr.reshape(b, g1, g2)
     x3i = xi.reshape(b, g1, g2)
 
-    w1 = bank_keys[("W", g1, sign)]
-    w2 = bank_keys[("W", g2, sign)]
-    tw = bank_keys[("T", g1, g2, sign)]
+    names1 = _sub_table_names(g1p, sign, bank_keys)
+    names2 = _sub_table_names(g2p, sign, bank_keys)
+    fused1 = g1p.level != Level.DIRECT
 
-    t1 = min(512, g2)
-    while g2 % t1:
-        t1 //= 2
+    t1 = _pick_tile(g2, g1p, g1, config.vmem_bytes * 3 // 4, 512, 128)
+    t2 = _pick_tile(g1, g2p, g2, config.vmem_bytes * 3 // 4, 512, 128)
+    if not t1 or not t2:
+        return None  # no viable tiling; caller falls back to the XLA chain
     in1 = pl.BlockSpec(
         (1, g1, t1), lambda bi, ti: (bi, 0, ti), memory_space=pltpu.VMEM
-    )
-    tw_spec = pl.BlockSpec(
-        (t1, g1), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
     )
     out1 = pl.BlockSpec(
         (1, t1, g1), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
     )
+    if fused1:
+        zkey = bank_keys[("Z", g1, g2, sign)]
+        tw_arrays = [bank[zkey + s] for s in ("1r", "1i", "2r", "2i")]
+        zspec = pl.BlockSpec(
+            (t1, 128), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
+        )
+        tw_specs = [zspec] * 4
+    else:
+        tw = bank_keys[("T", g1, g2, sign)]
+        tw_arrays = [bank[tw + "r"], bank[tw + "i"]]
+        tw_spec = pl.BlockSpec(
+            (t1, g1), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
+        )
+        tw_specs = [tw_spec, tw_spec]
+    nt1 = len(names1)
+    ntw = len(tw_arrays)
 
-    def p1(xr_ref, xi_ref, wr, wi, twr, twi, or_ref, oi_ref):
-        xr_ = xr_ref[0].T
-        xi_ = xi_ref[0].T
-        ar, ai = xla_fft.complex_matmul_last(xr_, xi_, wr[...], wi[...], prec)
-        ar, ai = xla_fft.complex_mul(ar, ai, twr[...], twi[...])
+    def p1(xr_ref, xi_ref, *rest):
+        tabs = rest[:nt1]
+        tws = rest[nt1 : nt1 + ntw]
+        or_ref, oi_ref = rest[nt1 + ntw], rest[nt1 + ntw + 1]
+        fold = rest[nt1 + ntw + 2 :]
+        if fused1:
+            ar, ai = _lane_dft(
+                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold, gtw=tws
+            )
+        else:
+            ar, ai = _lane_dft(
+                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold
+            )
+            ar, ai = xla_fft.complex_mul(ar, ai, tws[0][...], tws[1][...])
         or_ref[0] = ar
         oi_ref[0] = ai
 
     sr, si = pl.pallas_call(
         p1,
         grid=(b, g2 // t1),
-        in_specs=[in1, in1, _const(bank[w1 + "r"]), _const(bank[w1 + "i"]),
-                  tw_spec, tw_spec],
+        in_specs=[in1, in1]
+        + [_const(bank[nm]) for nm in names1]
+        + tw_specs,
         out_specs=[out1, out1],
         out_shape=[jax.ShapeDtypeStruct((b, g2, g1), xr.dtype)] * 2,
+        scratch_shapes=_fold_scratches(g1p, t1, xr.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=8 * b * n * g1,
+            flops=8 * b * n * (sum(g1p.factors) or g1),
             bytes_accessed=4 * 4 * b * n,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x3r, x3i, bank[w1 + "r"], bank[w1 + "i"], bank[tw + "r"], bank[tw + "i"])
-
-    t2 = min(512, g1)
-    while g1 % t2:
-        t2 //= 2
+    )(x3r, x3i, *[bank[nm] for nm in names1], *tw_arrays)
     in2 = pl.BlockSpec(
         (1, g2, t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
     )
     out2 = pl.BlockSpec(
         (1, g2, t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
     )
+    nt2 = len(names2)
 
-    def p2(xr_ref, xi_ref, wr, wi, or_ref, oi_ref):
-        xr_ = xr_ref[0].T  # (t2, g2) = [k1-slice, n2]
-        xi_ = xi_ref[0].T
-        cr, ci = xla_fft.complex_matmul_last(xr_, xi_, wr[...], wi[...], prec)
+    def p2(xr_ref, xi_ref, *rest):
+        tabs = rest[:nt2]
+        or_ref, oi_ref = rest[nt2], rest[nt2 + 1]
+        fold = rest[nt2 + 2 :]
+        cr, ci = _lane_dft(
+            xr_ref[0].T, xi_ref[0].T, g2p, tabs, prec, fold
+        )  # (t2, g2) = [k1-slice, k2]
         if scale != 1.0:
             cr = cr * scale
             ci = ci * scale
@@ -131,16 +296,17 @@ def global2_call(
     yr, yi = pl.pallas_call(
         p2,
         grid=(b, g1 // t2),
-        in_specs=[in2, in2, _const(bank[w2 + "r"]), _const(bank[w2 + "i"])],
+        in_specs=[in2, in2] + [_const(bank[nm]) for nm in names2],
         out_specs=[out2, out2],
         out_shape=[jax.ShapeDtypeStruct((b, g2, g1), xr.dtype)] * 2,
+        scratch_shapes=_fold_scratches(g2p, t2, xr.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=8 * b * n * g2,
+            flops=8 * b * n * (sum(g2p.factors) or g2),
             bytes_accessed=4 * 4 * b * n,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(sr, si, bank[w2 + "r"], bank[w2 + "i"])
+    )(sr, si, *[bank[nm] for nm in names2])
 
     # (b, g2, g1) row-major flat = k1 + g1·k2 = the transform index: free.
     return yr.reshape(*lead, n), yi.reshape(*lead, n)
@@ -320,24 +486,45 @@ def global2_raw_call(
 
     x3 = raw.reshape(batch, g1, 2 * g2)
 
-    w1 = bank_keys[("W", g1, sign)]
-    w2 = bank_keys[("W", g2, sign)]
-    tw = bank_keys[("T", g1, g2, sign)]
+    names1 = _sub_table_names(g1p, sign, bank_keys)
+    names2 = _sub_table_names(g2p, sign, bank_keys)
+    fused1 = g1p.level != Level.DIRECT
 
-    t1 = min(256, g2)
-    while g2 % t1:
-        t1 //= 2
+    # pass-1 lane tile is 2·t1 interleaved scalars -> t1 multiple of 64;
+    # pass-2 reads t2 plane lanes -> multiple of 128
+    t1 = _pick_tile(g2, g1p, g1, config.vmem_bytes * 3 // 4, 256, 64)
+    t2 = _pick_tile(g1, g2p, g2, config.vmem_bytes * 3 // 4, 256, 128)
+    if not t1 or not t2:
+        return None  # no viable tiling; caller falls back
     in1 = pl.BlockSpec(
         (1, g1, 2 * t1), lambda bi, ti: (bi, 0, ti), memory_space=pltpu.VMEM
-    )
-    tw_spec = pl.BlockSpec(
-        (t1, g1), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
     )
     out1 = pl.BlockSpec(
         (1, t1, g1), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
     )
+    if fused1:
+        zkey = bank_keys[("Z", g1, g2, sign)]
+        tw_arrays = [bank[zkey + s] for s in ("1r", "1i", "2r", "2i")]
+        zspec = pl.BlockSpec(
+            (t1, 128), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
+        )
+        tw_specs = [zspec] * 4
+    else:
+        tw = bank_keys[("T", g1, g2, sign)]
+        tw_arrays = [bank[tw + "r"], bank[tw + "i"]]
+        tw_spec = pl.BlockSpec(
+            (t1, g1), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
+        )
+        tw_specs = [tw_spec, tw_spec]
+    nt1 = len(names1)
+    ntw = len(tw_arrays)
 
-    def p1(x_ref, wr, wi, twr, twi, or_ref, oi_ref, s3, pr, pi):
+    def p1(x_ref, *rest):
+        tabs = rest[:nt1]
+        tws = rest[nt1 : nt1 + ntw]
+        or_ref, oi_ref = rest[nt1 + ntw], rest[nt1 + ntw + 1]
+        s3, pr, pi = rest[nt1 + ntw + 2 : nt1 + ntw + 5]
+        fold = rest[nt1 + ntw + 5 :]
         # deinterleave per 128-column tile of the (g1, 2t1) block; the
         # strided sublane reads require a 128-lane scratch base
         for j in range(g1 // 128):
@@ -345,47 +532,53 @@ def global2_raw_call(
             s3[...] = x_ref[0, sl, :].T  # (2t1, 128)
             pr[:, sl] = s3[0::2, :]  # (t1, 128) = [n2, n1-slice]
             pi[:, sl] = s3[1::2, :]
-        ar, ai = xla_fft.complex_matmul_last(
-            pr[...], pi[...], wr[...], wi[...], prec
-        )
-        ar, ai = xla_fft.complex_mul(ar, ai, twr[...], twi[...])
+        if fused1:
+            ar, ai = _lane_dft(
+                pr[...], pi[...], g1p, tabs, prec, fold, gtw=tws
+            )
+        else:
+            ar, ai = _lane_dft(pr[...], pi[...], g1p, tabs, prec, fold)
+            ar, ai = xla_fft.complex_mul(ar, ai, tws[0][...], tws[1][...])
         or_ref[0] = ar
         oi_ref[0] = ai
 
     sr, si = pl.pallas_call(
         p1,
         grid=(batch, g2 // t1),
-        in_specs=[in1, _const(bank[w1 + "r"]), _const(bank[w1 + "i"]),
-                  tw_spec, tw_spec],
+        in_specs=[in1]
+        + [_const(bank[nm]) for nm in names1]
+        + tw_specs,
         out_specs=[out1, out1],
         out_shape=[jax.ShapeDtypeStruct((batch, g2, g1), raw.dtype)] * 2,
         scratch_shapes=[
             pltpu.VMEM((2 * t1, 128), raw.dtype),
             pltpu.VMEM((t1, g1), raw.dtype),
             pltpu.VMEM((t1, g1), raw.dtype),
-        ],
+        ]
+        + _fold_scratches(g1p, t1, raw.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=8 * batch * n * g1,
+            flops=8 * batch * n * (sum(g1p.factors) or g1),
             bytes_accessed=4 * 4 * batch * n,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x3, bank[w1 + "r"], bank[w1 + "i"], bank[tw + "r"], bank[tw + "i"])
-
-    t2 = min(256, g1)
-    while g1 % t2:
-        t2 //= 2
+    )(x3, *[bank[nm] for nm in names1], *tw_arrays)
     in2 = pl.BlockSpec(
         (1, g2, t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
     )
     out2 = pl.BlockSpec(
         (1, g2, 2 * t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
     )
+    nt2 = len(names2)
 
-    def p2(xr_ref, xi_ref, wr, wi, o_ref, s2):
-        xr_ = xr_ref[0].T  # (t2, g2) = [k1-slice, n2]
-        xi_ = xi_ref[0].T
-        cr, ci = xla_fft.complex_matmul_last(xr_, xi_, wr[...], wi[...], prec)
+    def p2(xr_ref, xi_ref, *rest):
+        tabs = rest[:nt2]
+        o_ref = rest[nt2]
+        s2 = rest[nt2 + 1]
+        fold = rest[nt2 + 2 :]
+        cr, ci = _lane_dft(
+            xr_ref[0].T, xi_ref[0].T, g2p, tabs, prec, fold
+        )  # (t2, g2) = [k1-slice, k2]
         if scale != 1.0:
             cr = cr * scale
             ci = ci * scale
@@ -399,16 +592,17 @@ def global2_raw_call(
     out = pl.pallas_call(
         p2,
         grid=(batch, g1 // t2),
-        in_specs=[in2, in2, _const(bank[w2 + "r"]), _const(bank[w2 + "i"])],
+        in_specs=[in2, in2] + [_const(bank[nm]) for nm in names2],
         out_specs=out2,
         out_shape=jax.ShapeDtypeStruct((batch, g2, 2 * g1), raw.dtype),
-        scratch_shapes=[pltpu.VMEM((2 * t2, 128), raw.dtype)],
+        scratch_shapes=[pltpu.VMEM((2 * t2, 128), raw.dtype)]
+        + _fold_scratches(g2p, t2, raw.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=8 * batch * n * g2,
+            flops=8 * batch * n * (sum(g2p.factors) or g2),
             bytes_accessed=4 * 4 * batch * n,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(sr, si, bank[w2 + "r"], bank[w2 + "i"])
+    )(sr, si, *[bank[nm] for nm in names2])
 
     return out.reshape(raw.shape[0])

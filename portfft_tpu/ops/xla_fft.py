@@ -164,6 +164,40 @@ class TwiddleBank:
             self.host[key] = None
         return key
 
+    def global_fused_twiddles(self, a: int, g2: int, n: int, sign: int) -> str:
+        """Factored global twiddle for a fused-[a,128] G1 in the two-pass
+        engine: W_n^{k1·n2} with k1 = k1a + a·k2a splits into
+        T1[k1a, n2]·T2[k2a, n2].  Stored in the orientations the kernel
+        broadcasts: ``1`` = T1 row-expanded to the fold order
+        (128, g2)[q, n2] = W_n^{(q mod a)·n2}, applied on the restack scratch
+        (128, a, t) as (128, 1, t); ``2`` = T2 transposed and column-permuted
+        to the pre-fold order (g2, 128)[n2, c] = W_{n/a}^{σ(c)·n2} with
+        σ(c) = (c mod a)·g + (c div a), applied on (a, t, 128) as
+        (1, t, 128)."""
+        key = f"Z{'f' if sign < 0 else 'b'}{a}x{g2}N{n}"
+        if key not in self.host:
+            g = 128 // a
+            t1r, t1i = tw.twiddles_n(a, g2, n, sign, np.float64)
+            # stored (g2, 128) like T2 so the per-block slice (t, 128) is a
+            # legal Pallas block at any t (the kernel transposes in VMEM)
+            self.host[key + "1r"] = np.ascontiguousarray(
+                np.tile(t1r, (g, 1)).T
+            ).astype(self.dtype)
+            self.host[key + "1i"] = np.ascontiguousarray(
+                np.tile(t1i, (g, 1)).T
+            ).astype(self.dtype)
+            t2r, t2i = tw.twiddles_n(128, g2, n // a, sign, np.float64)
+            c = np.arange(128)
+            sigma = (c % a) * g + (c // a)
+            self.host[key + "2r"] = np.ascontiguousarray(
+                t2r.T[:, sigma]
+            ).astype(self.dtype)
+            self.host[key + "2i"] = np.ascontiguousarray(
+                t2i.T[:, sigma]
+            ).astype(self.dtype)
+            self.host[key] = None
+        return key
+
     def vmat(self, n: int, sign: int, chunk: int, scale: float) -> str:
         """Interleaved block-diagonal DFT matrix (see
         twiddle.interleaved_dft_matrix) — used by the raw-I/O direct kernel."""
@@ -282,9 +316,29 @@ def collect_bank_keys(
             keys[("W", f, sign)] = bank.dft(f, sign)
             if m > 1:
                 keys[("T", f, m, sign)] = bank.twiddle(f, m, sign)
+        # Lane-oriented two-stage tables for the Mosaic-native [a, 128]
+        # shape: the in-kernel lane-DFT helper (ops/pallas_global._lane_dft)
+        # needs the (f, m)-oriented inter-factor twiddle and the
+        # column-permuted stage-B DFT for its natural-order k2-fold.
+        f2 = plan.factors
+        if len(f2) == 2 and f2[1] == 128 and 128 % f2[0] == 0:
+            a = f2[0]
+            g = 128 // a
+            keys[("U", a, 128, sign)] = bank.twiddle_fm(a, 128, sign)
+            keys[("P", 128, sign, g)] = bank.dft_permuted(128, sign, g)
     elif plan.level == Level.GLOBAL:
         g1, g2 = plan.sub
         keys[("T", g1.n, g2.n, sign)] = bank.twiddle(g1.n, g2.n, sign)
+        f1 = g1.factors
+        if (
+            g1.level == Level.FUSED
+            and len(f1) == 2
+            and f1[1] == 128
+            and 128 % f1[0] == 0
+        ):
+            keys[("Z", g1.n, g2.n, sign)] = bank.global_fused_twiddles(
+                f1[0], g2.n, plan.n, sign
+            )
         collect_bank_keys(g1, sign, bank, keys)
         collect_bank_keys(g2, sign, bank, keys)
     elif plan.level == Level.BLUESTEIN:

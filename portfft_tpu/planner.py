@@ -158,11 +158,19 @@ def _pick_batch_tile(n, factors, cfg: DeviceConfig, itemsize: int) -> int:
 
 
 def _global_split(n: int, cfg: DeviceConfig, itemsize: int) -> tuple[int, int]:
-    """Balanced four-step split n = G1·G2 with both halves fused-capable.
+    """Four-step split n = G1·G2 for the two-pass Pallas engine.
 
-    Prefers G1 ≥ G2 and G1 near sqrt(n) (minimizes the larger half's VMEM
-    pressure; analogue of the reference's L2-chunked global factorization,
-    committed_descriptor_impl.hpp:271-312).
+    Preference order (analogue of the reference's L2-chunked global
+    factorization, committed_descriptor_impl.hpp:271-312, re-ranked for the
+    TPU engine's kernel shapes):
+
+    1. Both halves DIRECT (≤ direct_threshold, 8-aligned), balanced — both
+       passes are proven single-matmul kernels.
+    2. G1 = a·128 lane-FUSED (a | 128) with G2 DIRECT, minimizing the total
+       MXU work (a + 128 + G2) per element — only pass 1 runs the two-stage
+       pipeline, whose VMEM working set at the minimum raw tile must fit.
+    3. Legacy balanced search over anything plannable (fused × fused, odd
+       radices) — correctness envelope; the engine may decline these.
     """
     try:
         from . import native
@@ -174,19 +182,51 @@ def _global_split(n: int, cfg: DeviceConfig, itemsize: int) -> tuple[int, int]:
             cfg.sublane,
             itemsize,
             cfg.vmem_budget,
+            int(cfg.vmem_bytes * 3 / 4),
         )
         if split is not None:
             return split
     except (RuntimeError, OSError):
         pass
 
-    best = None
     root = int(math.isqrt(n))
+    # 1) both-direct balanced
     for g1 in range(root, 1, -1):
         if n % g1:
             continue
         g2 = n // g1
-        # candidate split (g2 >= g1); both sides must be plannable
+        if (
+            g2 <= cfg.direct_threshold
+            and g1 <= cfg.direct_threshold
+            and g2 % 8 == 0
+            and g1 % 8 == 0
+        ):
+            return g2, g1
+    # 2) one-fused: G1 = a·128, G2 direct, cheapest MXU work first
+    pass_budget = int(cfg.vmem_bytes * 3 / 4)
+    best = None
+    for a in (8, 16, 32, 64, 128):
+        g1 = a * 128
+        if n % g1:
+            continue
+        g2 = n // g1
+        if not (1 < g2 <= cfg.direct_threshold and g2 % 8 == 0):
+            continue
+        # pass-1 working set at the minimum raw tile t=64 (matches
+        # ops/pallas_global._pick_tile's estimate)
+        if 18 * 64 * g1 * itemsize + 2 * 128 * a * 128 * itemsize > pass_budget:
+            continue
+        cost = a + 128 + g2
+        if best is None or cost < best[0]:
+            best = (cost, g1, g2)
+    if best is not None:
+        return best[1], best[2]
+    # 3) legacy balanced search
+    fallback = None
+    for g1 in range(root, 1, -1):
+        if n % g1:
+            continue
+        g2 = n // g1
         for a, b in ((g2, g1), (g1, g2)):
             ca = factor_chain(a, cfg.max_factor)
             cb = factor_chain(b, cfg.max_factor)
@@ -194,14 +234,13 @@ def _global_split(n: int, cfg: DeviceConfig, itemsize: int) -> tuple[int, int]:
             ok_b = b <= cfg.direct_threshold or _fused_capable(b, cb, cfg, itemsize)
             if ca and cb and ok_a and ok_b:
                 return a, b
-        if best is None and n % g1 == 0:
-            best = (n // g1, g1)
-    # Fall back: recursive global on the larger side.
-    if best is None:
+        if fallback is None:
+            fallback = (n // g1, g1)
+    if fallback is None:
         # n is prime or near-prime beyond max_factor — caller handles
         # via Bluestein before reaching here.
         raise AssertionError(f"no global split for n={n}")
-    return best
+    return fallback
 
 
 def plan_1d(n: int, cfg: DeviceConfig, itemsize: int) -> Plan1D:

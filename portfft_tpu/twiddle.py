@@ -68,6 +68,27 @@ def twiddles(f: int, m: int, sign: int, dtype) -> tuple[np.ndarray, np.ndarray]:
     return re.astype(dtype), im.astype(dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _twiddles_n_f64(f: int, m: int, n: int, sign: int) -> tuple:
+    """Generalized twiddle block T[j, t] = exp(sign·2πi·j·t/n), shape (f, m),
+    for an arbitrary root order ``n`` (≥ f·m).  Used by the global engine's
+    factored twiddle: W_n^{k1·n2} with k1 = k1a + a·k2a splits into
+    T(a, g2; n)[k1a, n2] · T(128, g2; n/a)[k2a, n2] — two small rank-
+    structured tables replacing the dense (g2, g1) array."""
+    j = np.arange(f, dtype=np.float64)[:, None]
+    t = np.arange(m, dtype=np.float64)[None, :]
+    jt = np.mod(j * t, n)
+    theta = (2.0 * np.pi / n) * jt
+    return np.cos(theta), np.array(sign, np.float64) * np.sin(theta)
+
+
+def twiddles_n(
+    f: int, m: int, n: int, sign: int, dtype
+) -> tuple[np.ndarray, np.ndarray]:
+    re, im = _twiddles_n_f64(f, m, n, sign)
+    return re.astype(dtype), im.astype(dtype)
+
+
 def interleaved_dft_matrix(
     n: int, sign: int, dtype, scale: float = 1.0, chunk: int | None = None
 ) -> np.ndarray:

@@ -70,7 +70,7 @@ def test_global_split_matches_python(lib):
     for n in [1 << 17, 1 << 20, 9800 * 16]:
         nat = native.global_split(
             n, cfg.max_factor, cfg.direct_threshold, cfg.sublane, 4,
-            cfg.vmem_budget,
+            cfg.vmem_budget, int(cfg.vmem_bytes * 3 / 4),
         )
         py = _global_split(n, cfg, 4)
         assert nat == py, (n, nat, py)

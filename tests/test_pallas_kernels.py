@@ -65,6 +65,47 @@ def test_pallas_global_subplans():
     oracle.verify(desc, out, ref, F, check_padding=False)
 
 
+@pytest.mark.parametrize("n", [1 << 19, 1 << 20])
+def test_pallas_global_fused_subs(n):
+    # n > 2^18 plans GLOBAL with FUSED [a, 128] sub-transforms; the two-pass
+    # engine solves them in-kernel via the lane-DFT helper (natural-order
+    # k2-fold restack) — raw interleaved fast path end to end.
+    from portfft_tpu.ops import pallas_global
+
+    desc = Descriptor(lengths=[n], number_of_transforms=1)
+    plan = desc.commit(use_pallas=True)
+    p = plan.plans[n]
+    assert p.level == Level.GLOBAL
+    assert any(s.level == Level.FUSED for s in p.sub)
+    assert pallas_global.global2_raw_supported(
+        p, plan.config.direct_threshold
+    )
+    x = oracle.gen_input(desc, 11)
+    ref = oracle.reference_output(desc, x, F)
+    flat = oracle.materialize(desc, x, F)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, F, check_padding=False)
+
+
+def test_pallas_global_fused_subs_backward_split():
+    # plane-path (split storage) pass through the same fused-sub engine
+    n = 1 << 19
+    desc = Descriptor(
+        lengths=[n],
+        number_of_transforms=2,
+        complex_storage=ComplexStorage.SPLIT_COMPLEX,
+    )
+    plan = desc.commit(use_pallas=True)
+    x = oracle.gen_input(desc, 12)
+    ref = oracle.reference_output(desc, x, B)
+    flat = oracle.materialize(desc, x, B)
+    yr, yi = plan.compute_backward(
+        np.ascontiguousarray(flat.real), np.ascontiguousarray(flat.imag)
+    )
+    out = np.asarray(yr) + 1j * np.asarray(yi)
+    oracle.verify(desc, out, ref, B, check_padding=False)
+
+
 def test_pallas_with_strided_layout():
     # strides force the gather prologue; the leaf still runs in Pallas
     desc = Descriptor(

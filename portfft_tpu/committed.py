@@ -42,6 +42,32 @@ from .enums import inv as _inv
 _SIGN = {Direction.FORWARD: -1, Direction.BACKWARD: +1}
 
 
+def _is_kernel_rejection(exc: BaseException) -> bool:
+    """True when an exception is a TPU kernel-compiler rejection (Mosaic /
+    Pallas lowering / VMEM exhaustion) rather than a bug in our code.  Only
+    these trigger the per-entry XLA fallback; everything else re-raises
+    (the reference's retry chain similarly narrows to JIT-build failures,
+    committed_descriptor_impl.hpp:568-572)."""
+    name = type(exc).__name__
+    msg = str(exc)
+    compile_pats = (
+        "Mosaic",
+        "mosaic",
+        "Pallas",
+        "pallas",
+        "block shape",
+        "vmem",
+        "VMEM",
+        "RESOURCE_EXHAUSTED",
+        "Ran out of memory",
+        "remote_compile",
+        "tpu_custom_call",
+    )
+    if name in ("LoweringError", "VerificationError"):
+        return True
+    return any(p in msg for p in compile_pats)
+
+
 class CommittedDescriptor:
     """A planned, compiled FFT ready for repeated execution."""
 
@@ -114,6 +140,9 @@ class CommittedDescriptor:
         self._bank_arrays = self._bank.device_arrays(device)
 
         self._compiled: dict = {}
+        #: entry keys pinned to the XLA executor after a kernel-compiler
+        #: rejection (see _run); other keys keep their Pallas kernels.
+        self._xla_only_keys: set = set()
         trace(
             "committed:",
             {n: p.describe() for n, p in self.plans.items()},
@@ -556,27 +585,37 @@ class CommittedDescriptor:
         return self._compiled[key]
 
     def _run(self, key, builder, donate, *args):
-        """Execute a compiled entry point; if a Pallas kernel is rejected by
-        the TPU kernel compiler at this shape, permanently fall back to the
-        pure-XLA executor for this committed plan (the analogue of the
-        reference's JIT-retry chain over subgroup sizes,
+        """Execute a compiled entry point; if the TPU kernel compiler
+        rejects a Pallas kernel at this shape, fall back to the pure-XLA
+        executor for THIS entry key only — other shapes/directions of the
+        plan keep their Pallas kernels, and non-compile bugs re-raise (the
+        analogue of the reference's per-kernel JIT-retry chain,
         committed_descriptor_impl.hpp:568-572)."""
         try:
             fn = self._get_compiled(key, builder, donate)
             return fn(*args)
-        except Exception:
-            if not self.use_pallas:
+        except Exception as exc:
+            if (
+                not self.use_pallas
+                or key in self._xla_only_keys
+                or not _is_kernel_rejection(exc)
+            ):
                 raise
             from .utils.logging import warn
 
             warn(
-                f"pallas executor rejected at {key!r}; falling back to the "
-                "XLA path for this plan"
+                f"pallas executor rejected at {key!r} "
+                f"({str(exc)[:120]}); retrying this entry on the XLA path"
             )
+            self._xla_only_keys.add(key)
+            self._compiled.pop(key, None)
+            prev = self.use_pallas
             self.use_pallas = False
-            self._compiled.clear()
-            fn = self._get_compiled(key, builder, donate)
-            return fn(*args)
+            try:
+                fn = self._get_compiled(key, builder, donate)
+                return fn(*args)
+            finally:
+                self.use_pallas = prev
 
     def _compute(self, direction, x, x_imag, out, out_imag):
         d = self.descriptor
@@ -774,7 +813,9 @@ class CommittedDescriptor:
                     )
                 except fastpath.RawFastUnavailable:
                     self._compiled.pop(key, None)
-                except Exception as exc:  # kernel compile rejection etc.
+                except Exception as exc:
+                    if not _is_kernel_rejection(exc):
+                        raise
                     from .utils.logging import warn
 
                     warn(

@@ -469,7 +469,8 @@ def global2_raw_supported(plan: Plan1D, max_direct: int = 256) -> bool:
 
 def global2_raw_call(
     raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
-    precision=None, scale: float = 1.0,
+    precision=None, scale: float = 1.0, t1_override: int = 0,
+    t2_override: int = 0,
 ):
     """PACKED interleaved raw (2·batch·n,) -> transformed raw, two passes.
 
@@ -492,8 +493,12 @@ def global2_raw_call(
 
     # pass-1 lane tile is 2·t1 interleaved scalars -> t1 multiple of 64;
     # pass-2 reads t2 plane lanes -> multiple of 128
-    t1 = _pick_tile(g2, g1p, g1, config.vmem_bytes * 3 // 4, 256, 64)
-    t2 = _pick_tile(g1, g2p, g2, config.vmem_bytes * 3 // 4, 256, 128)
+    t1 = t1_override or _pick_tile(
+        g2, g1p, g1, config.vmem_bytes * 3 // 4, 256, 64
+    )
+    t2 = t2_override or _pick_tile(
+        g1, g2p, g2, config.vmem_bytes * 3 // 4, 256, 128
+    )
     if not t1 or not t2:
         return None  # no viable tiling; caller falls back
     in1 = pl.BlockSpec(

@@ -35,9 +35,9 @@ def test_chunking_skips_non_divisible_batches():
 
 
 def test_pallas_rejection_falls_back(monkeypatch):
-    """A leaf kernel blowing up at trace/compile time must not break
-    compute: the plan flips to the XLA executor and still returns correct
-    results."""
+    """A leaf kernel rejected at trace/compile time must not break compute:
+    the affected entry retries on the XLA executor and still returns
+    correct results — while the plan as a whole keeps Pallas enabled."""
     desc = Descriptor(lengths=[256], number_of_transforms=4)
     plan = desc.commit(use_pallas=True)
 
@@ -55,7 +55,64 @@ def test_pallas_rejection_falls_back(monkeypatch):
     flat = oracle.materialize(desc, x, Direction.FORWARD)
     out = np.asarray(plan.compute_forward(flat))
     oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
-    assert plan.use_pallas is False
+    assert plan.use_pallas is True  # fallback is per-entry, not global
+    assert len(plan._xla_only_keys) == 1
+
+
+def test_pallas_rejection_is_per_entry_key(monkeypatch):
+    """One rejected shape pins only ITS entry to XLA; a subsequent entry of
+    the same plan still runs Pallas (reference narrows per kernel,
+    committed_descriptor_impl.hpp:568-572)."""
+    desc = Descriptor(lengths=[512], number_of_transforms=4)
+    plan = desc.commit(use_pallas=True)
+    plan._raw_fast.clear()
+
+    from portfft_tpu.ops import pallas_fft
+
+    real_dispatch = pallas_fft.leaf_dispatch
+    calls = {"n": 0, "pallas_after": 0}
+
+    def flaky_leaf(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("synthetic Pallas block shape rejection")
+
+    monkeypatch.setattr(pallas_fft, "leaf_dispatch", flaky_leaf)
+    x = oracle.gen_input(desc, 3)
+    ref = oracle.reference_output(desc, x, Direction.FORWARD)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
+    assert calls["n"] >= 1 and plan._xla_only_keys
+
+    # second entry (backward direction = a different key): Pallas again
+    def counting_leaf(*a, **k):
+        calls["pallas_after"] += 1
+        return real_dispatch(*a, **k)
+
+    monkeypatch.setattr(pallas_fft, "leaf_dispatch", counting_leaf)
+    refb = oracle.reference_output(desc, x, Direction.BACKWARD)
+    outb = np.asarray(plan.compute_backward(flat))
+    oracle.verify(desc, outb, refb, Direction.BACKWARD, check_padding=False)
+    assert calls["pallas_after"] >= 1  # Pallas leaf reached, not disabled
+
+
+def test_non_compile_bug_reraises(monkeypatch):
+    """Exceptions that are not kernel-compiler rejections must surface, not
+    silently fall back."""
+    desc = Descriptor(lengths=[128], number_of_transforms=2)
+    plan = desc.commit(use_pallas=True)
+    plan._raw_fast.clear()
+
+    from portfft_tpu.ops import pallas_fft
+
+    def buggy_leaf(*a, **k):
+        raise TypeError("a genuine bug, not a kernel rejection")
+
+    monkeypatch.setattr(pallas_fft, "leaf_dispatch", buggy_leaf)
+    x = oracle.gen_input(desc, 4)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    with pytest.raises(TypeError, match="genuine bug"):
+        plan.compute_forward(flat)
 
 
 def test_workspace_len_accounts_for_bluestein():

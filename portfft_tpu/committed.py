@@ -169,6 +169,18 @@ class CommittedDescriptor:
         """Human-readable plan summary (one entry per dimension length)."""
         return {n: p.describe() for n, p in self.plans.items()}
 
+    def autotune(self, iters: int = 5):
+        """Measure this plan's raw-fast-path kernel variants on the attached
+        device and persist + apply the fastest (tuning.py).  One kernel
+        compile per variant (~20-40 s on TPU); results are cached across
+        processes, keyed by device and shape.  The analogue of the
+        reference's retry chain over subgroup sizes
+        (committed_descriptor_impl.hpp:545-573) with 'fastest measured'
+        replacing 'first that builds'."""
+        from . import tuning
+
+        return tuning.autotune(self, iters=iters)
+
     def clone(self) -> "CommittedDescriptor":
         """Copy sharing the built plan, twiddle arrays and compiled
         executables (reference create_copy shares kernel bundles,

@@ -112,13 +112,22 @@ def register(committed) -> dict:
     return out
 
 
-def build_fn(committed, direction, entry, flat_len: int):
+def build_fn(committed, direction, entry, flat_len: int, overrides=None):
     """Return a traced callable ``fn(raw, bank) -> raw`` for this entry, or
-    None when the buffer length does not match the registered shape."""
+    None when the buffer length does not match the registered shape.
+
+    Tile parameters come from ``overrides`` (autotune measuring a variant),
+    else the tuned table for this device/shape (tuning.py), else the static
+    heuristics in the kernel modules."""
+    from . import tuning
     from .ops import pallas_fft, pallas_global
 
     d = committed.descriptor
     kind = entry[0]
+    if overrides is None:
+        overrides = tuning.lookup(
+            committed.config.name, kind, tuning._entry_key(committed, kind)
+        ) or {}
     if kind == "bi_direct":
         _, wkey, ct, scale, total = entry
         if flat_len != 2 * total:
@@ -137,10 +146,13 @@ def build_fn(committed, direction, entry, flat_len: int):
         _, key, chunk, rt, total = entry
         if flat_len != 2 * total:
             return None
+        rt_t = overrides.get("rt", rt)
+        if (2 * total) % (chunk * rt_t):
+            rt_t = rt
 
         def fn(raw, bank):
             return pallas_fft.direct_raw_call(
-                raw, d.lengths[0], bank[key + "v"], chunk, rt,
+                raw, d.lengths[0], bank[key + "v"], chunk, rt_t,
                 committed.config, committed.matmul_precision,
             )
 
@@ -152,11 +164,13 @@ def build_fn(committed, direction, entry, flat_len: int):
         plan0 = committed.plans[d.lengths[0]]
         batch = d.number_of_transforms
         keys = committed._bank_keys
+        t1 = overrides.get("t1", 0)
+        t2 = overrides.get("t2", 0)
 
         def fn(raw, bank):
             res = pallas_global.global2_raw_call(
                 raw, batch, plan0, sign, keys, bank, committed.config,
-                committed.matmul_precision, scale,
+                committed.matmul_precision, scale, t1, t2,
             )
             if res is None:  # no viable pass tiling for this shape
                 raise RawFastUnavailable()
@@ -169,11 +183,13 @@ def build_fn(committed, direction, entry, flat_len: int):
         return None
     plan0 = committed.plans[d.lengths[0]]
     batch = d.number_of_transforms
+    bt = overrides.get("bt")
 
     def fn(raw, bank):
         res = pallas_fft.fused2_raw_v2_call(
             raw, batch, plan0, [bank[nm] for nm in names_v2],
             committed.config, committed.matmul_precision, scale,
+            bt_override=bt,
         )
         if res is None:
             res = pallas_fft.fused2_raw_call(

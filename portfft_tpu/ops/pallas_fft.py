@@ -67,17 +67,19 @@ def _leaf_table_keys(plan: Plan1D, sign: int, bank_keys: dict) -> list[str]:
 def _kernel_precision(p, n: int = 1 << 30):
     """Pallas kernels default to the manual bf16x3 scheme (~1e-5 relative
     error at ~2x the speed of HIGHEST, Mosaic's only other accurate mode).
-    Tiny transforms keep HIGHEST: the parity tolerance 2·eps·N·log2N drops
-    below x3's error floor for N < 16 (measured: N=8 fails, N=16 passes
-    with 5x margin)."""
+    Tiny transforms keep HIGHEST: the parity tolerance 2·eps·N·log2N leaves
+    no headroom over the two-term bf16 split's ~1e-5 floor at N ≤ 16
+    (measured: worst-element diff 1.7e-5 vs tol 1.5e-5 at N=16, b=1024)."""
     if p is None:
-        return "x3" if n >= 16 else jax.lax.Precision.HIGHEST
+        return "x3" if n >= 32 else jax.lax.Precision.HIGHEST
     return xla_fft.resolve_precision(p)
 
 
 def _mm(a, b, precision):
     if precision == "x3":
         return xla_fft.matmul_x3(a, b)
+    if precision == "x4":
+        return xla_fft.matmul_x4(a, b)
     return jnp.matmul(a, b, precision=precision)
 
 

@@ -165,26 +165,26 @@ def _pick_tile(g_other: int, sub_lane: Plan1D, n_lane: int, vmem: int,
     dimension in the lane position must be a multiple of 128 scalars (64
     complex on the raw side's interleaved axis).
     """
-    fused = sub_lane.level != Level.DIRECT
-
-    def est(t_):
-        e = t_ * n_lane * 4
-        if fused:
-            a = sub_lane.factors[0]
-            # io blocks + stage tensors/temps + fold scratch (lane-padded
-            # below t=128)
-            return 18 * e + 2 * 128 * a * max(t_, 128) * 4
-        return 14 * e
-
     t = min(cap, g_other)
     t -= t % step
     while t >= step:
-        if g_other % t == 0 and est(t) <= vmem:
+        if g_other % t == 0 and pass_est_bytes(sub_lane, n_lane, t) <= vmem:
             return t
         t -= step
-    if est(g_other) <= vmem:
+    if pass_est_bytes(sub_lane, n_lane, g_other) <= vmem:
         return g_other
     return 0
+
+
+def pass_est_bytes(sub_lane: Plan1D, n_lane: int, t: int) -> int:
+    """VMEM working-set estimate of one engine pass at tile width ``t``:
+    io blocks (double-buffered) + stage tensors/bf16 temporaries + the fold
+    scratch (lane-padded below t=128) for fused subs."""
+    e = t * n_lane * 4
+    if sub_lane.level != Level.DIRECT:
+        a = sub_lane.factors[0]
+        return 18 * e + 2 * 128 * a * max(t, 128) * 4
+    return 14 * e
 
 
 def _const(t):

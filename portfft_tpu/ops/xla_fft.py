@@ -48,9 +48,10 @@ _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-    # manual 3-pass bf16 emulation (see matmul_x3) — Mosaic cannot lower
-    # Precision.HIGH inside kernels, so the split is done by hand there.
+    # manual 3-/4-pass bf16 emulation (see matmul_x3/x4) — Mosaic cannot
+    # lower Precision.HIGH inside kernels, so the split is done by hand.
     "x3": "x3",
+    "x4": "x4",
 }
 _PRECISION = jax.lax.Precision.HIGHEST
 
@@ -79,6 +80,27 @@ def matmul_x3(a: Array, b: Array) -> Array:
     out = jnp.matmul(a1, b1, preferred_element_type=f32)
     out = out + jnp.matmul(a1, b2, preferred_element_type=f32)
     out = out + jnp.matmul(a2, b1, preferred_element_type=f32)
+    return out
+
+
+def matmul_x4(a: Array, b: Array) -> Array:
+    """fp32 matmul as four bf16 MXU passes (x3 + the a2·b2 cross term).
+
+    NOTE: this does NOT reach full fp32 — the two-term bf16 operand split
+    itself carries only ~16-17 mantissa bits, so x4's floor equals x3's
+    (~1e-5 relative).  Kept for callers that want the cross term's modest
+    constant-factor improvement; sizes whose tolerance budget is below the
+    two-term floor must use Precision.HIGHEST (three-term split)."""
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    a1 = a.astype(bf)
+    a2 = (a - a1.astype(f32)).astype(bf)
+    b1 = b.astype(bf)
+    b2 = (b - b1.astype(f32)).astype(bf)
+    out = jnp.matmul(a2, b2, preferred_element_type=f32)
+    out = out + jnp.matmul(a1, b2, preferred_element_type=f32)
+    out = out + jnp.matmul(a2, b1, preferred_element_type=f32)
+    out = out + jnp.matmul(a1, b1, preferred_element_type=f32)
     return out
 
 
@@ -228,11 +250,12 @@ def complex_matmul_last(
 ) -> tuple[Array, Array]:
     """(..., f) @ (f, k) complex matmul as four real MXU matmuls."""
     precision = resolve_precision(precision)
-    if precision == "x3":
-        rr = matmul_x3(xr, wr)
-        ii = matmul_x3(xi, wi)
-        ri = matmul_x3(xr, wi)
-        ir = matmul_x3(xi, wr)
+    if precision in ("x3", "x4"):
+        mm = matmul_x3 if precision == "x3" else matmul_x4
+        rr = mm(xr, wr)
+        ii = mm(xi, wi)
+        ri = mm(xr, wi)
+        ir = mm(xi, wr)
         return rr - ii, ri + ir
     rr = jnp.matmul(xr, wr, precision=precision)
     ii = jnp.matmul(xi, wi, precision=precision)

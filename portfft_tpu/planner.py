@@ -284,6 +284,12 @@ def plan_1d(n: int, cfg: DeviceConfig, itemsize: int) -> Plan1D:
         )
 
     g1, g2 = _global_split(n, cfg, itemsize)
+    # measured split override (scripts/tune.py / CommittedDescriptor.autotune)
+    from . import tuning
+
+    tuned = tuning.lookup(cfg.name, "global_split", f"n{n}")
+    if tuned and tuned.get("g1", 0) * tuned.get("g2", 0) == n:
+        g1, g2 = tuned["g1"], tuned["g2"]
     return Plan1D(
         n=n,
         level=Level.GLOBAL,

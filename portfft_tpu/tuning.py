@@ -1,0 +1,218 @@
+"""Commit-time autotuner: measured kernel variants instead of static rules.
+
+The reference retries its JIT build over a compile-time list of subgroup
+sizes and keeps the first that works (committed_descriptor_impl.hpp:545-573).
+Here the variant space is richer — matmul row tiles (``rt``), batch tiles
+(``bt``), two-pass lane tiles (``t1``/``t2``) and the four-step split itself
+— and "works" is not enough on TPU: variants differ 2-5× in throughput.  So
+instead of accreting static VMEM formulas (they drift: round 1 carried three
+divergent estimates), variants are *measured once per (device, kernel,
+shape)* and the winner persisted:
+
+* ``tuning_defaults.json`` (shipped, read-only) — winners measured on the
+  TPU v5e bench set via ``scripts/tune.py``.
+* ``~/.cache/portfft_tpu_tuning.json`` (user cache) — written by
+  :meth:`CommittedDescriptor.autotune` / ``scripts/tune.py`` runs on the
+  user's own device; overrides the shipped defaults.
+
+Lookups are by device name (``tpu_v5e``, …), kernel family and a shape key;
+a miss falls back to the static heuristics, so the tuner is purely
+additive.  Measuring costs one kernel compile per variant (~20-40 s on TPU),
+which is why it is explicit opt-in rather than an implicit commit side
+effect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Optional
+
+_DEFAULTS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tuning_defaults.json"
+)
+_USER_PATH = os.path.expanduser(
+    os.environ.get("PORTFFT_TUNING_CACHE", "~/.cache/portfft_tpu_tuning.json")
+)
+
+_lock = threading.Lock()
+_tables: Optional[dict] = None  # {device: {kernel: {key: params}}}
+_user: Optional[dict] = None
+
+
+def _load() -> None:
+    global _tables, _user
+    if _tables is not None:
+        return
+    tables: dict = {}
+    try:
+        with open(_DEFAULTS_PATH) as f:
+            tables = json.load(f)
+    except (OSError, ValueError):
+        tables = {}
+    user: dict = {}
+    try:
+        with open(_USER_PATH) as f:
+            user = json.load(f)
+    except (OSError, ValueError):
+        user = {}
+    _tables, _user = tables, user
+
+
+def lookup(device: str, kernel: str, key: str) -> Optional[dict]:
+    """Tuned parameters for (device, kernel, key), user cache first."""
+    if os.environ.get("PORTFFT_NO_TUNING"):
+        return None
+    with _lock:
+        _load()
+        for table in (_user, _tables):
+            params = table.get(device, {}).get(kernel, {}).get(key)
+            if params is not None:
+                return params
+    return None
+
+
+def record(device: str, kernel: str, key: str, params: dict) -> None:
+    """Persist a measured winner to the user cache."""
+    with _lock:
+        _load()
+        _user.setdefault(device, {}).setdefault(kernel, {})[key] = params
+        try:
+            os.makedirs(os.path.dirname(_USER_PATH), exist_ok=True)
+            with open(_USER_PATH, "w") as f:
+                json.dump(_user, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only home: keep the in-memory entry
+
+
+def _reset_for_tests() -> None:
+    global _tables, _user
+    with _lock:
+        _tables = None
+        _user = None
+
+
+# ---------------------------------------------------------------------------
+# Variant enumeration + measurement
+# ---------------------------------------------------------------------------
+
+
+def _variants_for_entry(committed, entry) -> list[dict]:
+    kind = entry[0]
+    d = committed.descriptor
+    n = d.lengths[0]
+    total = d.number_of_transforms * n
+    if kind == "direct":
+        chunk = entry[2]
+        out = []
+        for rt in (256, 512, 1024, 2048):
+            if (2 * total) % (chunk * rt) == 0:
+                out.append({"rt": rt})
+        return out
+    if kind == "fused2":
+        return [{"bt": bt} for bt in (8, 16, 32)
+                if d.number_of_transforms % bt == 0]
+    if kind == "global2":
+        from .ops.pallas_global import pass_est_bytes
+
+        plan = committed.plans[n]
+        g1p, g2p = plan.sub
+        vmem = committed.config.vmem_bytes  # hard bound (skip sure OOMs)
+        out = []
+        for t1 in (64, 128, 256):
+            for t2 in (128, 256):
+                if (
+                    g2p.n % t1 == 0
+                    and g1p.n % t2 == 0
+                    and pass_est_bytes(g1p, g1p.n, t1) <= vmem
+                    and pass_est_bytes(g2p, g2p.n, t2) <= vmem
+                ):
+                    out.append({"t1": t1, "t2": t2})
+        return out
+    return []
+
+
+def _entry_key(committed, kind: str) -> str:
+    d = committed.descriptor
+    n = d.lengths[0]
+    if kind == "global2":
+        plan = committed.plans[n]
+        return f"n{n}_g{plan.sub[0].n}x{plan.sub[1].n}"
+    return f"n{n}"
+
+
+def _measure(fn, x, bank, iters: int) -> float:
+    import time
+
+    import jax
+
+    r = fn(x, bank)
+    jax.device_get(r.ravel()[0:1])
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(x, bank)
+        jax.device_get(r.ravel()[0:1])
+        ts.append((time.perf_counter() - t0) / iters)
+    return min(ts)
+
+
+def autotune(committed, direction=None, iters: int = 5) -> Optional[dict]:
+    """Measure the registered raw-fast-path variants of ``committed`` on the
+    attached device, persist the winner, and re-register the fast path so
+    subsequent computes use it.  Returns the winning params (or None when
+    the plan has no tunable fast path).
+
+    Each variant costs one kernel compile; call once per deployment shape
+    (results are cached across processes).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import fastpath
+    from .enums import Direction
+
+    direction = direction or Direction.FORWARD
+    entry = committed._raw_fast.get(direction)
+    if entry is None:
+        return None
+    kind = entry[0]
+    variants = _variants_for_entry(committed, entry)
+    if len(variants) <= 1:
+        return None
+    d = committed.descriptor
+    total = d.number_of_transforms * d.lengths[0]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, 2 * total).astype(np.float32))
+    key = _entry_key(committed, kind)
+    device = committed.config.name
+    best = None
+    from .utils.logging import trace
+
+    for params in variants:
+        try:
+            traced = fastpath.build_fn(
+                committed, direction, entry, 2 * total, overrides=params
+            )
+            if traced is None:
+                continue
+            t = _measure(jax.jit(traced), x, committed._bank_arrays, iters)
+        except Exception as exc:  # compile rejection: skip the variant
+            trace(f"autotune {kind}/{key} {params}: rejected "
+                  f"({str(exc)[:80]})")
+            continue
+        gbps = 2 * total * 4 * 2 / t / 1e9
+        trace(f"autotune {kind}/{key} {params}: {t*1e3:.3f} ms "
+              f"{gbps:.1f} GB/s")
+        if best is None or t < best[0]:
+            best = (t, params)
+    if best is None:
+        return None
+    record(device, kind, key, best[1])
+    # re-register so both directions pick up the tuned parameters
+    committed._raw_fast = fastpath.register(committed)
+    committed._compiled.clear()
+    return best[1]

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Autotune the bench-set shapes on the attached TPU and print the results.
+
+For every headline shape this measures the kernel-variant space (matmul row
+tiles, batch tiles, two-pass lane tiles) via ``CommittedDescriptor.autotune``
+and, for GLOBAL sizes, the four-step split itself — then persists winners to
+the user tuning cache (~/.cache/portfft_tpu_tuning.json).  Merge the cache
+into portfft_tpu/tuning_defaults.json to ship them.
+
+Usage: python scripts/tune.py [n ...]     (default: the bench-set sizes)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")  # repo root
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import portfft_tpu as pfft  # noqa: E402
+from portfft_tpu import tuning  # noqa: E402
+from portfft_tpu.enums import Level  # noqa: E402
+
+SHAPES = [
+    (16, 8 * 1024 * 1024),
+    (256, 512 * 1024),
+    (4096, 32 * 1024),
+    (65536, 2048),
+    (1 << 17, 1024),
+    (1 << 18, 512),
+    (1 << 19, 256),
+    (1 << 20, 128),
+]
+
+
+def _sync(a):
+    jax.device_get(a.ravel()[0:1])
+
+
+def measure_plan(plan, x, iters=8) -> float:
+    y = plan.compute_forward(x)
+    _sync(y)
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = plan.compute_forward(x)
+        _sync(y)
+        ts.append((time.perf_counter() - t0) / iters)
+    return min(ts)
+
+
+def tune_shape(n: int, batch: int, device: str) -> None:
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, 2 * batch * n).astype(np.float32))
+    gb = batch * n * 16 / 1e9
+
+    base_plan = pfft.Descriptor(
+        lengths=[n], number_of_transforms=batch
+    ).commit()
+    level = base_plan.plans[n].level
+
+    if level != Level.GLOBAL:
+        params = base_plan.autotune()
+        t = measure_plan(base_plan, x)
+        print(f"n={n:8d} {base_plan.plans[n].describe():50s} "
+              f"tuned={params} {t*1e3:8.3f} ms {gb/t:6.1f} GB/s", flush=True)
+        return
+
+    # GLOBAL: search the split space too
+    from portfft_tpu.ops import pallas_global
+
+    best = None
+    for g1 in (256, 512, 1024, 2048):
+        if n % g1:
+            continue
+        g2 = n // g1
+        if g2 < 8 or g2 > 2048:
+            continue
+        tuning.record(device, "global_split", f"n{n}",
+                      {"g1": g1, "g2": g2})
+        plan = pfft.Descriptor(
+            lengths=[n], number_of_transforms=batch
+        ).commit()
+        p = plan.plans[n]
+        if not pallas_global.global2_raw_supported(
+            p, plan.config.direct_threshold
+        ):
+            print(f"  n={n} split {g1}x{g2}: engine declines", flush=True)
+            continue
+        try:
+            plan.autotune()  # records t1/t2 under the split-specific key
+            t = measure_plan(plan, x)
+        except Exception as exc:
+            print(f"  n={n} split {g1}x{g2}: FAIL {str(exc)[:90]}",
+                  flush=True)
+            continue
+        print(f"  n={n} split {g1}x{g2} [{p.describe()}]: "
+              f"{t*1e3:8.3f} ms {gb/t:6.1f} GB/s", flush=True)
+        if best is None or t < best[0]:
+            best = (t, g1, g2)
+    if best is None:
+        print(f"n={n}: no viable split", flush=True)
+        return
+    t, g1, g2 = best
+    tuning.record(device, "global_split", f"n{n}", {"g1": g1, "g2": g2})
+    print(f"n={n:8d} WINNER split {g1}x{g2}: {t*1e3:8.3f} ms "
+          f"{gb/t:6.1f} GB/s", flush=True)
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    device = pfft.resolve_device_config(dev).name
+    print(f"tuning on {dev.device_kind} ({device})", flush=True)
+    shapes = SHAPES
+    if len(sys.argv) > 1:
+        wanted = {int(a) for a in sys.argv[1:]}
+        shapes = [(nn, bb) for nn, bb in SHAPES if nn in wanted]
+    for n, batch in shapes:
+        tune_shape(n, batch, device)
+    print("tuning cache:", tuning._USER_PATH, flush=True)
+
+
+if __name__ == "__main__":
+    main()

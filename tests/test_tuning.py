@@ -1,0 +1,70 @@
+"""Autotuner plumbing: lookup/record round trip, fastpath overrides, split
+override, and end-to-end autotune on the interpreter backend."""
+
+import numpy as np
+import pytest
+
+import oracle
+from portfft_tpu import Descriptor, Direction, tuning
+from portfft_tpu.enums import Level
+
+
+@pytest.fixture
+def tmp_cache(tmp_path, monkeypatch):
+    monkeypatch.setattr(tuning, "_USER_PATH", str(tmp_path / "tune.json"))
+    tuning._reset_for_tests()
+    yield
+    tuning._reset_for_tests()
+
+
+def test_record_lookup_roundtrip(tmp_cache):
+    assert tuning.lookup("cpu", "direct", "n16") is None
+    tuning.record("cpu", "direct", "n16", {"rt": 2048})
+    assert tuning.lookup("cpu", "direct", "n16") == {"rt": 2048}
+    # persisted: a fresh load still sees it
+    tuning._reset_for_tests()
+    assert tuning.lookup("cpu", "direct", "n16") == {"rt": 2048}
+
+
+def test_tuned_rt_is_used_and_validated(tmp_cache):
+    desc = Descriptor(lengths=[16], number_of_transforms=1024)
+    plan = desc.commit(use_pallas=True)
+    # an rt that does not divide the buffer falls back to the computed one
+    tuning.record(plan.config.name, "direct", "n16", {"rt": 999})
+    x = oracle.gen_input(desc, 0)
+    ref = oracle.reference_output(desc, x, Direction.FORWARD)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
+
+
+def test_global_split_override(tmp_cache):
+    from portfft_tpu.config import DeviceConfig
+    from portfft_tpu.planner import plan_1d
+
+    cfg = DeviceConfig()
+    default = plan_1d(1 << 17, cfg, 4)
+    assert (default.sub[0].n, default.sub[1].n) == (512, 256)
+    tuning.record(cfg.name, "global_split", f"n{1 << 17}",
+                  {"g1": 1024, "g2": 128})
+    tuned = plan_1d(1 << 17, cfg, 4)
+    assert (tuned.sub[0].n, tuned.sub[1].n) == (1024, 128)
+    assert tuned.sub[0].level == Level.FUSED
+    # an invalid split (g1*g2 != n) is ignored
+    tuning.record(cfg.name, "global_split", f"n{1 << 17}",
+                  {"g1": 999, "g2": 7})
+    assert plan_1d(1 << 17, cfg, 4).sub[0].n == 512
+
+
+def test_autotune_interpreter(tmp_cache):
+    # end-to-end: measures variants (interpreter), records, recomputes
+    desc = Descriptor(lengths=[16], number_of_transforms=8192)
+    plan = desc.commit(use_pallas=True)
+    params = plan.autotune(iters=1)
+    assert params is not None and "rt" in params
+    assert tuning.lookup(plan.config.name, "direct", "n16") == params
+    x = oracle.gen_input(desc, 1)
+    ref = oracle.reference_output(desc, x, Direction.FORWARD)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)

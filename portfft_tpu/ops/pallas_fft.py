@@ -88,13 +88,36 @@ def _interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def dump(tag: str, val) -> None:
+    """In-kernel data dump, gated by ``PORTFFT_LOG_DUMPS`` (the reference's
+    log_dump_local/log_dump_private device streams, logging.hpp:169-213).
+
+    The gate is evaluated at trace time: with the flag off no ops are
+    emitted, so the facility is zero-cost in production kernels.  With it
+    on, every kernel instance prints its grid position and a content
+    summary (works compiled on TPU via Mosaic's debug_print, and in
+    interpreter mode)."""
+    from ..utils import logging as _plog
+
+    if not _plog.DUMPS_ENABLED:
+        return
+    pl.debug_print(
+        "[pfft dump] " + tag + " grid={} sum={} absmax={}",
+        pl.program_id(0),
+        jnp.sum(val),
+        jnp.max(jnp.abs(val)),
+    )
+
+
 def _direct_kernel(precision):
     """n ≤ 128: one complex matmul over the last axis."""
 
     def kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref):
+        dump("direct.in", xr_ref[...])
         yr, yi = xla_fft.complex_matmul_last(
             xr_ref[...], xi_ref[...], wr_ref[...], wi_ref[...], precision
         )
+        dump("direct.out", yr)
         or_ref[...] = yr
         oi_ref[...] = yi
 
@@ -109,6 +132,7 @@ def _fused2_kernel(a: int, precision):
     ):
         bt = xr_ref.shape[0]
         n = xr_ref.shape[1]
+        dump("fused2.in", xr_ref[...])
         xr = xr_ref[...].reshape(bt, a, 128)
         xi = xi_ref[...].reshape(bt, a, 128)
         # [n1, n2] -> [n2, n1]
@@ -127,6 +151,7 @@ def _fused2_kernel(a: int, precision):
         cr, ci = xla_fft.complex_matmul_last(
             ar, ai, wbr[...], wbi[...], precision
         )
+        dump("fused2.stageB", cr)
         # X[k1 + a·k2] = C[k1, k2]: write the (bt, 128, a) block = [k2, k1]
         or_ref[...] = jnp.swapaxes(cr, 1, 2)
         oi_ref[...] = jnp.swapaxes(ci, 1, 2)
@@ -311,6 +336,7 @@ def _direct_raw_kernel(rt: int, chunk: int, precision):
     def kernel(x_ref, v_ref, o_ref):
         blk = x_ref.shape[0]
         u = x_ref[...].reshape(rt, chunk)
+        dump("direct_raw.in", u)
         o_ref[...] = _mm(u, v_ref[...], precision).reshape(blk, 128)
 
     return kernel
@@ -508,6 +534,7 @@ def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale, g: int):
             s3[...] = x[sl, :].T
             pr[sl, :] = s3[0::2, :].T
             pi[sl, :] = s3[1::2, :].T
+        dump("fused2_raw.planes", pr[...])
         # rows (b, n1) -> (a, bt, 128) via per-batch sub-block moves
         xr3 = jnp.transpose(pr[...].reshape(bt, a, 128), (1, 0, 2))
         xi3 = jnp.transpose(pi[...].reshape(bt, a, 128), (1, 0, 2))
@@ -545,6 +572,7 @@ def _fused2_raw_v2_kernel(a: int, bt: int, precision, scale, g: int):
                 s2[j * 2 * a + 1 : (j + 1) * 2 * a : 2] = ci[:, :, lane]
         v = jnp.transpose(s2[...], (1, 0, 2))  # (bt, 2ag, 128/g)
         v = jnp.swapaxes(v, 1, 2)  # (bt, 128/g, 2ag) = natural scalar order
+        dump("fused2_raw.out", v)
         o_ref[...] = v.reshape(2 * rows, 128)
 
     return kernel

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..enums import Level
 from ..planner import Plan1D
 from . import xla_fft
+from . import pallas_fft as _pf
 from .pallas_fft import _kernel_precision
 
 
@@ -253,6 +254,7 @@ def global2_call(
                 xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold
             )
             ar, ai = xla_fft.complex_mul(ar, ai, tws[0][...], tws[1][...])
+        _pf.dump("global2.p1", ar)
         or_ref[0] = ar
         oi_ref[0] = ai
 
@@ -544,6 +546,7 @@ def global2_raw_call(
         else:
             ar, ai = _lane_dft(pr[...], pi[...], g1p, tabs, prec, fold)
             ar, ai = xla_fft.complex_mul(ar, ai, tws[0][...], tws[1][...])
+        _pf.dump("global2.p1", ar)
         or_ref[0] = ar
         oi_ref[0] = ai
 

@@ -36,11 +36,12 @@ def register(committed) -> dict:
     out: dict = {}
     if not (
         committed.use_pallas
-        and len(d.lengths) == 1
         and committed.precision.name == "float32"
         and d.domain == Domain.COMPLEX
     ):
         return out
+    if len(d.lengths) >= 2:
+        return _register_multidim(committed)
     n0 = d.lengths[0]
     plan0 = committed.plans[n0]
     if plan0.level not in (Level.DIRECT, Level.FUSED, Level.GLOBAL):
@@ -112,6 +113,81 @@ def register(committed) -> dict:
     return out
 
 
+def _register_multidim(committed) -> dict:
+    """Multi-dim raw pipeline: the last axis runs through the 1D raw
+    kernels at batch B·prod(lengths[:-1]); every outer axis runs the
+    sublane-major column kernel (ops/pallas_multidim.py) — one HBM round
+    trip per axis, no separate de/interleave passes (reference counterpart:
+    dispatch_dimensions' per-slice BATCH_INTERLEAVED kernels,
+    committed_descriptor_impl.hpp:899-950)."""
+    from .ops import pallas_fft, pallas_multidim
+
+    d = committed.descriptor
+    out: dict = {}
+    bank = committed._bank
+    n_last = d.lengths[-1]
+    plan_last = committed.plans[n_last]
+    if not all(
+        pallas_multidim.col_axis_supported(
+            committed.plans[ln], committed.config.direct_threshold
+        )
+        for ln in d.lengths[:-1]
+        if ln > 1
+    ):
+        return out
+    total = d.number_of_transforms * d.get_flattened_length()
+    batch_last = total // n_last
+    for direction, sign in (
+        (Direction.FORWARD, -1),
+        (Direction.BACKWARD, +1),
+    ):
+        out_dir = _inv(direction)
+        if d.get_offset(direction) or d.get_offset(out_dir):
+            continue
+        if not (
+            get_layout(d, direction) == Layout.PACKED
+            and get_layout(d, out_dir) == Layout.PACKED
+        ):
+            continue
+        scale = float(d.get_scale(direction))
+        last = None
+        if plan_last.level == Level.DIRECT:
+            sup = pallas_fft.direct_raw_supported(
+                n_last, total, int(committed.config.vmem_bytes * 0.75)
+            )
+            if sup:
+                chunk, rt = sup
+                key = bank.vmat(n_last, sign, chunk, 1.0)
+                last = ("direct", key, chunk, rt)
+        elif plan_last.level == Level.FUSED and pallas_fft.fused2_raw_supported(
+            n_last, plan_last, batch_last
+        ):
+            a0 = plan_last.factors[0]
+            g = pallas_fft.fold_factor(a0)
+            if g > 0:
+                wa = bank.dft(a0, sign)
+                tu = bank.twiddle_fm(a0, 128, sign)
+                wb = (
+                    bank.dft_permuted(128, sign, g)
+                    if g > 1
+                    else bank.dft(128, sign)
+                )
+                last = ("fused2", [
+                    wa + "r", wa + "i", tu + "r", tu + "i", wb + "r",
+                    wb + "i",
+                ])
+        if last is None:
+            continue
+        cols = [
+            pallas_multidim.col_table_names(committed.plans[ln], sign, bank)
+            if ln > 1
+            else None
+            for ln in d.lengths[:-1]
+        ]
+        out[direction] = ("multidim", sign, scale, total, last, cols)
+    return out
+
+
 def build_fn(committed, direction, entry, flat_len: int, overrides=None):
     """Return a traced callable ``fn(raw, bank) -> raw`` for this entry, or
     None when the buffer length does not match the registered shape.
@@ -140,6 +216,53 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
                 raw, n0, batch, bank[wkey + "r"], bank[wkey + "i"], ct,
                 committed.config, committed.matmul_precision, scale,
             )
+
+        return fn
+    if kind == "multidim":
+        import math
+
+        _, sign, scale, total, last, cols = entry
+        if flat_len != 2 * total:
+            return None
+        from .ops import pallas_multidim
+
+        lengths = d.lengths
+        batch_last = total // lengths[-1]
+        plan_last = committed.plans[lengths[-1]]
+
+        def fn(raw, bank):
+            if last[0] == "direct":
+                _, key, chunk, rt = last
+                x = pallas_fft.direct_raw_call(
+                    raw, lengths[-1], bank[key + "v"], chunk, rt,
+                    committed.config, committed.matmul_precision,
+                )
+            else:
+                x = pallas_fft.fused2_raw_v2_call(
+                    raw, batch_last, plan_last,
+                    [bank[nm] for nm in last[1]], committed.config,
+                    committed.matmul_precision, 1.0,
+                )
+                if x is None:
+                    raise RawFastUnavailable()
+            for axis in range(len(lengths) - 2, -1, -1):
+                ln = lengths[axis]
+                if ln == 1:
+                    continue
+                rest2 = 2 * math.prod(lengths[axis + 1 :])
+                bpre = (
+                    d.number_of_transforms * math.prod(lengths[:axis])
+                )
+                sc = scale if axis == 0 else 1.0
+                x = pallas_multidim.col_raw_call(
+                    x, bpre, committed.plans[ln], rest2, sign, cols[axis],
+                    bank, committed.config, committed.matmul_precision, sc,
+                )
+                if x is None:
+                    raise RawFastUnavailable()
+            if scale != 1.0 and lengths[0] == 1:
+                x = x * scale  # every column pass was a length-1 skip
+            return x
 
         return fn
     if kind == "direct":

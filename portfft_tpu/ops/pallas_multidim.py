@@ -1,0 +1,184 @@
+"""Raw-I/O multi-dimensional pipeline: one Pallas pass per axis.
+
+The reference handles multi-dim by running the contiguous axis as one
+batched kernel and launching per-slice kernels on BATCH_INTERLEAVED views
+for every outer axis (committed_descriptor_impl.hpp:899-950).  The TPU raw
+pipeline instead keeps the buffer PACKED interleaved end to end:
+
+* last axis — the existing 1D raw kernels (``direct_raw_call`` /
+  ``fused2_raw_v2_call``) with batch = B·prod(lengths[:-1]);
+* every other axis — the column kernel here: the transform runs over the
+  SUBLANE dimension via left matmuls with the re/im lane pairs untouched
+  (the pairswap trick of the BI kernel, ``_bi_direct_kernel``), so there is
+  no de/interleave and, unlike the lane-major case, no digit-reversal
+  restack: sublane digit merges are plain leading-dim reshapes.
+
+Column data flow for a fused axis L = a·128 on a (L, ct) interleaved tile
+(ct = lane tile of 2·prod(trailing lengths)):
+
+    x   (L, ct) -> (a, 128·ct)            row n = n1a·128 + n1b
+    A   = W_a ⊛ x                          left interleaved matmul (MXU)
+    A  *= T[k1a, n1b]                      pairswap complex mul (VPU)
+    B   (128, a·ct)                        (1,0,2) permute + leading merge
+    C   = W_128 ⊛ B                        rows come out k2-natural
+    out (128·a, ct) = C                    row k2·a + k1a = k1a + a·k2 ✓
+
+Each element is read from HBM once and written once per axis — a 2D
+transform is exactly two HBM round trips (the previous plane path paid
+separate de/interleave passes on top: 12-18 GB/s at 1024²; this pipeline
+removes them).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..enums import Level
+from ..planner import Plan1D
+from . import xla_fft
+from .pallas_fft import _const_spec, _interpret_mode, _kernel_precision, _mm
+
+
+def _pairswap_last(u):
+    """Swap adjacent lane pairs (re↔im) along the last axis."""
+    axis = u.ndim - 1
+    minus = pltpu.roll(u, u.shape[axis] - 1, axis)  # roll by -1
+    plus = pltpu.roll(u, 1, axis)
+    lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, axis)
+    return jnp.where(lane % 2 == 0, minus, plus)
+
+
+def _cmm_left_raw(wr, wi, u, prec):
+    """Left complex matmul on lane-interleaved data:
+    y = W_re @ u + salt ⊙ (W_im @ pairswap(u)), salt[2k]=-1, [2k+1]=+1."""
+    e1 = _mm(wr, u, prec)
+    e2 = _mm(wi, _pairswap_last(u), prec)
+    lane = jax.lax.broadcasted_iota(jnp.int32, e1.shape, e1.ndim - 1)
+    return jnp.where(lane % 2 == 0, e1 - e2, e1 + e2)
+
+
+def _ctw_raw(u, tr, ti):
+    """Elementwise complex multiply of lane-interleaved ``u`` by a twiddle
+    given as broadcastable re/im planes (one value per re/im lane pair)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, u.ndim - 1)
+    e2 = ti * _pairswap_last(u)
+    return jnp.where(lane % 2 == 0, tr * u - e2, tr * u + e2)
+
+
+def col_axis_supported(plan: Plan1D, max_direct: int = 512) -> bool:
+    """Column-kernel capability: DIRECT any size ≤ max_direct, or the
+    Mosaic-native FUSED shape [a, 128] with a | 128."""
+    if plan.level == Level.DIRECT:
+        return plan.n <= max_direct
+    return (
+        plan.level == Level.FUSED
+        and len(plan.factors) == 2
+        and plan.factors[1] == 128
+        and 128 % plan.factors[0] == 0
+    )
+
+
+def col_table_names(plan: Plan1D, sign: int, bank) -> list[str]:
+    """Register (idempotently) and return the bank names the column kernel
+    needs for this axis plan."""
+    if plan.level == Level.DIRECT:
+        w = bank.dft(plan.n, sign)
+        return [w + "r", w + "i"]
+    a = plan.factors[0]
+    wa = bank.dft(a, sign)
+    u = bank.twiddle_fm(a, 128, sign)
+    wb = bank.dft(128, sign)
+    return [wa + "r", wa + "i", u + "r", u + "i", wb + "r", wb + "i"]
+
+
+def _col_direct_kernel(prec, scale):
+    def kernel(x_ref, wr, wi, o_ref):
+        y = _cmm_left_raw(wr[...], wi[...], x_ref[0], prec)
+        if scale != 1.0:
+            y = y * scale
+        o_ref[0] = y
+
+    return kernel
+
+
+def _col_fused_kernel(a: int, prec, scale):
+    def kernel(x_ref, war, wai, ur, ui, wbr, wbi, o_ref):
+        x = x_ref[0]  # (L, ct), L = a·128, rows n = n1a·128 + n1b
+        ct = x.shape[1]
+        x2 = x.reshape(a, 128, ct).reshape(a, 128 * ct)
+        # stage A: contract the a-digit
+        ar = _cmm_left_raw(war[...], wai[...], x2, prec)
+        # inter-factor twiddle W_L^{k1a·n1b}, tables (a, 128) -> (a, 128, 1)
+        a3 = ar.reshape(a, 128, ct)
+        a3 = _ctw_raw(
+            a3, ur[...].reshape(a, 128, 1), ui[...].reshape(a, 128, 1)
+        )
+        # stage B: contract the 128-digit; result rows are k2-natural
+        b2 = jnp.transpose(a3, (1, 0, 2)).reshape(128, a * ct)
+        c = _cmm_left_raw(wbr[...], wbi[...], b2, prec)
+        if scale != 1.0:
+            c = c * scale
+        # rows (128_k2, a_k1a) merge to k2·a + k1a = the natural axis index
+        o_ref[0] = c.reshape(128, a, ct).reshape(128 * a, ct)
+
+    return kernel
+
+
+def _pick_ct(rest2: int, L: int, fused: bool, vmem: int) -> int:
+    """Lane tile over the trailing (interleaved) extent: a 128-multiple
+    dividing rest2, or rest2 itself (full-dim blocks are always legal)."""
+    mult = 10 if fused else 6
+
+    def est(ct_):
+        return mult * L * ct_ * 4
+
+    for ct in (512, 384, 256, 128):
+        if rest2 % ct == 0 and est(ct) <= vmem:
+            return ct
+    if est(rest2) <= vmem:
+        return rest2
+    return 0
+
+
+def col_raw_call(
+    raw, bpre: int, plan: Plan1D, rest2: int, sign: int, names: list[str],
+    bank, config, precision=None, scale: float = 1.0,
+):
+    """Transform axis of length ``plan.n`` over the sublane dimension of the
+    PACKED interleaved buffer viewed (bpre, L, rest2).  Returns the
+    transformed buffer in the same raw layout, or None when no legal tiling
+    exists."""
+    L = plan.n
+    fused = plan.level != Level.DIRECT
+    prec = _kernel_precision(precision, L)
+    ct = _pick_ct(rest2, L, fused, config.vmem_bytes * 3 // 4)
+    if not ct:
+        return None
+    x3 = raw.reshape(bpre, L, rest2)
+    spec = pl.BlockSpec(
+        (1, L, ct), lambda bi, ci: (bi, 0, ci), memory_space=pltpu.VMEM
+    )
+    tables = [bank[nm] for nm in names]
+    if fused:
+        kern = _col_fused_kernel(plan.factors[0], prec, scale)
+        fl = sum(plan.factors)
+    else:
+        kern = _col_direct_kernel(prec, scale)
+        fl = L
+    out = pl.pallas_call(
+        kern,
+        grid=(bpre, rest2 // ct),
+        in_specs=[spec] + [_const_spec(t) for t in tables],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bpre, L, rest2), raw.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bpre * L * rest2 * fl,
+            bytes_accessed=2 * bpre * L * rest2 * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret_mode(),
+    )(x3, *tables)
+    return out.reshape(raw.shape)

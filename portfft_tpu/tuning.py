@@ -135,6 +135,8 @@ def _variants_for_entry(committed, entry) -> list[dict]:
 
 def _entry_key(committed, kind: str) -> str:
     d = committed.descriptor
+    if kind == "multidim":
+        return "n" + "x".join(str(ln) for ln in d.lengths)
     n = d.lengths[0]
     if kind == "global2":
         plan = committed.plans[n]

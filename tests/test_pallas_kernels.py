@@ -122,6 +122,24 @@ def test_pallas_with_strided_layout():
     oracle.verify(desc, out, ref, F, check_padding=False)
 
 
+def test_pallas_multidim_raw_pipeline():
+    # PACKED interleaved multi-dim goes through the raw pipeline: 1D raw
+    # kernel on the last axis + sublane-major column kernels on the rest
+    # (one HBM round trip per axis) — including fused column axes (1024)
+    # and a 3D case.
+    from portfft_tpu import Direction
+
+    for lengths, b in ([128, 256], 2), ([1024, 128], 1), ([16, 32, 128], 2):
+        desc = Descriptor(lengths=lengths, number_of_transforms=b)
+        plan = desc.commit(use_pallas=True)
+        assert plan._raw_fast[Direction.FORWARD][0] == "multidim"
+        x = oracle.gen_input(desc, 13)
+        ref = oracle.reference_output(desc, x, F)
+        flat = oracle.materialize(desc, x, F)
+        out = np.asarray(plan.compute_forward(flat))
+        oracle.verify(desc, out, ref, F, check_padding=False)
+
+
 def test_pallas_multidim_column_passes():
     # 2D exercising both the direct (<=256) and fused (a*128) column passes
     for lengths in ([128, 256], [1024, 128]):

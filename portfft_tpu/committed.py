@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import resolve_device_config
-from .enums import ComplexStorage, Direction, Layout, Level, Placement
+from .enums import ComplexStorage, Direction, Layout, Placement
 from .exceptions import InvalidConfiguration, UnsupportedConfiguration
 from .ops import xla_fft
 from .planner import plan_1d

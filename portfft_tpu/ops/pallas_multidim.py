@@ -38,7 +38,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..enums import Level
 from ..planner import Plan1D
-from . import xla_fft
 from .pallas_fft import _const_spec, _interpret_mode, _kernel_precision, _mm
 
 

@@ -26,12 +26,15 @@ def check_file(path: pathlib.Path) -> list[str]:
         return [f"{path}:{e.lineno}: syntax error: {e.msg}"]
 
     imported: dict[str, int] = {}
+    is_init = path.name == "__init__.py"
     for node in ast.walk(tree):
         if isinstance(node, ast.Import):
             for a in node.names:
                 name = (a.asname or a.name).split(".")[0]
                 imported[name] = node.lineno
         elif isinstance(node, ast.ImportFrom):
+            if node.module == "__future__":
+                continue
             for a in node.names:
                 if a.name == "*":
                     continue
@@ -56,13 +59,16 @@ def check_file(path: pathlib.Path) -> list[str]:
     for node in ast.walk(tree):
         if isinstance(node, ast.Constant) and isinstance(node.value, str):
             text_refs.add(node.value)
-    for name, lineno in sorted(imported.items()):
-        if name not in used and name not in text_refs and name != "_":
-            problems.append(f"{path}:{lineno}: unused import {name!r}")
+    if not is_init:  # __init__.py imports are namespace re-exports
+        for name, lineno in sorted(imported.items()):
+            if name not in used and name not in text_refs and name != "_":
+                problems.append(f"{path}:{lineno}: unused import {name!r}")
 
     seen: dict[str, int] = {}
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+            if node.name == "_":
+                continue  # intentional throwaway (decorator registries)
             if node.name in seen:
                 problems.append(
                     f"{path}:{node.lineno}: duplicate top-level definition "

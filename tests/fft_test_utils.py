@@ -33,8 +33,7 @@ def run_test(
         else plan.compute_backward
     )
 
-    from portfft_tpu.enums import inv
-
+    
     out_count = desc.get_output_count(direction)
     # An output buffer pre-filled with sentinels lets us detect stray writes
     # (reference padding-untouched check).

@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 
 from fft_test_utils import run_test
-from portfft_tpu import Descriptor, Direction, Level
+from portfft_tpu import Direction, Level
 from portfft_tpu.config import DeviceConfig
 from portfft_tpu.planner import plan_1d
 

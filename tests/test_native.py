@@ -1,7 +1,6 @@
 """Native C++ planner core: availability and parity with the pure-Python
 implementations."""
 
-import numpy as np
 import pytest
 
 from portfft_tpu import native

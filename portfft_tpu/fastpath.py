@@ -30,6 +30,9 @@ class RawFastUnavailable(Exception):
     (e.g. batch not divisible by any viable tile); caller falls back."""
 
 
+_SIGNS = {Direction.FORWARD: -1, Direction.BACKWARD: +1}
+
+
 def register(committed) -> dict:
     """Build the per-direction fast-path table for a committed plan."""
     d = committed.descriptor
@@ -65,12 +68,17 @@ def register(committed) -> dict:
         if (
             lin == Layout.BATCH_INTERLEAVED
             and lout == Layout.BATCH_INTERLEAVED
-            and plan0.level == Level.DIRECT
         ):
-            ct = pallas_fft.bi_direct_supported(n0, d.number_of_transforms)
-            if ct:
-                wkey = bank.dft(n0, sign)
-                out[direction] = ("bi_direct", wkey, ct, scale, total)
+            # BI layout (n, 2·batch) IS a column transform: the sublane-
+            # major kernel covers DIRECT and fused [a, 128] sizes with the
+            # re/im lane pairs untouched (ops/pallas_multidim.py).
+            from .ops import pallas_multidim
+
+            if pallas_multidim.col_axis_supported(
+                plan0, committed.config.direct_threshold
+            ):
+                names = pallas_multidim.col_table_names(plan0, sign, bank)
+                out[direction] = ("bi_col", names, scale, total)
             continue
         packed = lin == Layout.PACKED and lout == Layout.PACKED
         if not packed:
@@ -204,18 +212,25 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
         overrides = tuning.lookup(
             committed.config.name, kind, tuning._entry_key(committed, kind)
         ) or {}
-    if kind == "bi_direct":
-        _, wkey, ct, scale, total = entry
+    if kind == "bi_col":
+        _, names, scale, total = entry
         if flat_len != 2 * total:
             return None
+        from .ops import pallas_multidim
+
         n0 = d.lengths[0]
-        batch = d.number_of_transforms
+        plan0 = committed.plans[n0]
+        sign = _SIGNS[direction]
+        rest2 = 2 * d.number_of_transforms
 
         def fn(raw, bank):
-            return pallas_fft.bi_direct_call(
-                raw, n0, batch, bank[wkey + "r"], bank[wkey + "i"], ct,
-                committed.config, committed.matmul_precision, scale,
+            res = pallas_multidim.col_raw_call(
+                raw, 1, plan0, rest2, sign, names, bank, committed.config,
+                committed.matmul_precision, scale,
             )
+            if res is None:
+                raise RawFastUnavailable()
+            return res
 
         return fn
     if kind == "multidim":

@@ -134,7 +134,7 @@ def _pick_ct(rest2: int, L: int, fused: bool, vmem: int) -> int:
     def est(ct_):
         return mult * L * ct_ * 4
 
-    for ct in (512, 384, 256, 128):
+    for ct in (2048, 1024, 512, 384, 256, 128):
         if rest2 % ct == 0 and est(ct) <= vmem:
             return ct
     if est(rest2) <= vmem:

@@ -485,6 +485,16 @@ class CommittedDescriptor:
 
             if pallas_io.supported(m):
                 return pallas_io.deinterleave(raw)
+            if m >= pallas_io.TILE:
+                # Trailing-pad up to the kernel tile (cheap on TPU) instead
+                # of the XLA strided-slice path: at 100M+ elements the XLA
+                # form is a compile-time blowup (seen at the Bluestein
+                # bench config N=65537·b=2048, odd-N buffers).
+                mp = -(-m // pallas_io.TILE) * pallas_io.TILE
+                re, im = pallas_io.deinterleave(
+                    jnp.pad(raw, (0, 2 * (mp - m)))
+                )
+                return re[:m], im[:m]
         pad = (-m) % 128
         if pad:
             raw = jnp.pad(raw, (0, 2 * pad))
@@ -509,6 +519,14 @@ class CommittedDescriptor:
 
             if pallas_io.supported(m):
                 return pallas_io.interleave(re, im)
+            if m >= pallas_io.TILE:
+                # see _deinterleave: trailing pad beats the interior-padded
+                # lax.pad form, which blows up compilation at size
+                mp = -(-m // pallas_io.TILE) * pallas_io.TILE
+                out = pallas_io.interleave(
+                    jnp.pad(re, (0, mp - m)), jnp.pad(im, (0, mp - m))
+                )
+                return out[: 2 * m]
         pad = (-m) % 128
         if pad:
             re = jnp.pad(re, (0, pad))

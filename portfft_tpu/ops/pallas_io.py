@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ROWS = 128  # tile rows; transposes are (128, 128)
+TILE = _ROWS * 128  # minimum plane-size granule (callers trailing-pad)
 
 
 def _interleave_kernel(cols: int):

@@ -242,7 +242,7 @@ def measure_practical_ceiling():
     import jax.numpy as jnp
 
     m = 128 * 1024 * 1024 // 4
-    x = jnp.asarray(np.ones(m, np.float32))
+    x = jnp.asarray(np.ones((m // 128, 128), np.float32))
     f = jax.jit(lambda a: a * 1.0001)
     _sync(f(x))
     best = None

@@ -146,6 +146,25 @@ def _fused_capable(n: int, factors, cfg: DeviceConfig, itemsize: int) -> bool:
     )
 
 
+def _two_stage_vmem_ok(a: int, cfg: DeviceConfig, itemsize: int) -> bool:
+    """True when the raw two-stage kernel (ops/pallas_fft.py
+    _fused2_raw_v2_kernel) fits VMEM at its smallest legal batch tile for
+    n = a·128.  For a ≥ 64 the k2-fold is trivial (g ≤ 2) and bt can drop
+    to 128/gcd(a,128), which keeps the working set bounded even at
+    n = 512·128 = 65536 — a single one-pass kernel where the generic
+    fused estimate (8-row tiles) would force the two-pass engine."""
+    n = a * 128
+    bt = 128 // math.gcd(a, 128)
+    ln = bt * 128
+    est = (
+        2 * 2 * bt * 2 * n * itemsize      # in/out flat blocks, 2 buffers
+        + 2 * bt * a * 128 * itemsize      # plane scratches
+        + 8 * a * ln * itemsize            # stage tensors + bf16 temps
+        + 2 * a * ln * itemsize            # interleave scratch
+    )
+    return est <= cfg.vmem_budget
+
+
 def _pick_batch_tile(n, factors, cfg: DeviceConfig, itemsize: int) -> int:
     """Largest power-of-two batch tile (≥ sublane) that keeps the fused
     working set within budget."""
@@ -270,12 +289,28 @@ def plan_1d(n: int, cfg: DeviceConfig, itemsize: int) -> Plan1D:
             sub=(plan_1d(n // p, cfg, itemsize), plan_1d(p, cfg, itemsize)),
         )
 
+    # Prefer the Mosaic-native two-stage shape [a, 128]: every kernel op is
+    # a matmul / last-two-dims transpose / 128-multiple-lane reshape (see
+    # ops/pallas_fft.py).  a may exceed max_factor — stage A is still one
+    # MXU matmul of contraction depth a — so this single-pass form covers
+    # n up to 256·128 = 32768 (measured on v5e: a=256/bt=4 streams 124
+    # GB/s; a=512 forces bt=1 and drops to 70, losing to the two-pass
+    # engine's 107 — hence the 2·max_factor cap).
+    a = n // cfg.lane
+    if (
+        n % cfg.lane == 0
+        and 3 <= a <= 2 * cfg.max_factor
+        and _two_stage_vmem_ok(a, cfg, itemsize)
+    ):
+        two = [a, cfg.lane]
+        return Plan1D(
+            n=n,
+            level=Level.FUSED,
+            factors=two,
+            batch_tile=_pick_batch_tile(n, two, cfg, itemsize),
+        )
+
     if _fused_capable(n, chain, cfg, itemsize):
-        # Prefer the Mosaic-native two-stage shape [a, 128]: every kernel op
-        # is then a 3D last-axis matmul or last-two-dims transpose with the
-        # lane dimension a multiple of 128 (see ops/pallas_fft.py).
-        if n % cfg.lane == 0 and 3 <= n // cfg.lane <= cfg.max_factor:
-            chain = [n // cfg.lane, cfg.lane]
         return Plan1D(
             n=n,
             level=Level.FUSED,

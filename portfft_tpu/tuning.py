@@ -111,8 +111,17 @@ def _variants_for_entry(committed, entry) -> list[dict]:
                 out.append({"rt": rt})
         return out
     if kind == "fused2":
-        return [{"bt": bt} for bt in (8, 16, 32)
-                if d.number_of_transforms % bt == 0]
+        plan = committed.plans[n]
+        a = plan.factors[0]
+        return [
+            {"bt": bt}
+            for bt in (1, 2, 4, 8, 16, 32)
+            if d.number_of_transforms % bt == 0
+            and (bt * a) % 128 == 0
+            # skip sure VMEM overruns (the kernel's own estimate)
+            and 2 * 2 * bt * 2 * n * 4 + 10 * a * bt * 128 * 4
+            <= committed.config.vmem_bytes
+        ]
     if kind == "global2":
         from .ops.pallas_global import pass_est_bytes
 

@@ -55,9 +55,11 @@ def test_pallas_batch_not_tile_multiple():
 
 def test_pallas_global_subplans():
     # GLOBAL level drives pallas leaves for its two sub-transforms.
-    desc = Descriptor(lengths=[1 << 15], number_of_transforms=2)
+    # (2^15 is single-kernel FUSED since the a≤512 two-stage extension;
+    # 2^17 is the smallest power of two planned GLOBAL.)
+    desc = Descriptor(lengths=[1 << 17], number_of_transforms=2)
     plan = desc.commit(use_pallas=True)
-    assert plan.plans[1 << 15].level == Level.GLOBAL
+    assert plan.plans[1 << 17].level == Level.GLOBAL
     x = oracle.gen_input(desc, 4)
     ref = oracle.reference_output(desc, x, F)
     flat = oracle.materialize(desc, x, F)

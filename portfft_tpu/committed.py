@@ -77,6 +77,7 @@ class CommittedDescriptor:
         device=None,
         use_pallas: Optional[bool] = None,
         matmul_precision=None,
+        emulate_fp64: Optional[bool] = None,
     ):
         from .utils.logging import trace
 
@@ -98,13 +99,31 @@ class CommittedDescriptor:
 
         # fp64 requires a device with native double support (the reference
         # gates on the fp64 aspect, fft_test_utils.hpp:441-448); TPUs have
-        # none, and jax only carries float64 with x64 mode enabled.
+        # none, and jax only carries float64 with x64 mode enabled.  On TPU
+        # an opt-in double-double emulation (ops/df64.py, ~2^-48 effective
+        # precision) stands in: commit(emulate_fp64=True) or
+        # PORTFFT_EMULATE_FP64=1.
+        self._df64 = False
         if self.precision == np.float64:
-            if jax.default_backend() == "tpu":
-                raise UnsupportedConfiguration(
-                    "fp64 transforms are not supported on TPU devices"
-                )
-            if not jax.config.jax_enable_x64:
+            if emulate_fp64 is None:
+                emulate_fp64 = bool(_os.environ.get("PORTFFT_EMULATE_FP64"))
+            if jax.default_backend() == "tpu" or emulate_fp64:
+                if not emulate_fp64:
+                    raise UnsupportedConfiguration(
+                        "fp64 transforms are not natively supported on TPU "
+                        "devices; commit(emulate_fp64=True) opts into the "
+                        "double-double emulation (~2^-48 precision)"
+                    )
+                from .ops import df64 as _df64mod
+
+                for ln in set(descriptor.lengths):
+                    if ln > 1 and not _df64mod.supported(ln):
+                        raise UnsupportedConfiguration(
+                            "emulated fp64 supports sizes whose prime "
+                            f"factors are <= 13; length {ln} is not"
+                        )
+                self._df64 = True
+            elif not jax.config.jax_enable_x64:
                 raise UnsupportedConfiguration(
                     "fp64 transforms require jax_enable_x64"
                 )
@@ -115,6 +134,35 @@ class CommittedDescriptor:
             n: plan_1d(n, self.config, itemsize)
             for n in set(descriptor.lengths)
         }
+
+        if self._df64:
+            # emulated-fp64 path: its own hi/lo split tables; the normal
+            # f64 bank would ship float64 arrays the TPU cannot hold
+            from .ops import df64 as _df64mod
+
+            self._df64_bank: dict = {}
+            self._df64_chains: dict = {}
+            for sign in (-1, +1):
+                for ln in set(descriptor.lengths):
+                    if ln == 1:
+                        continue
+                    chain, tabs = _df64mod.df64_tables(ln, sign)
+                    self._df64_chains[(ln, sign)] = chain
+                    for name, arr in tabs.items():
+                        self._df64_bank[f"n{ln}s{sign}_{name}"] = jnp.asarray(
+                            arr
+                        )
+            self._raw_fast = {}
+            self._bank = None
+            self._bank_keys = {}
+            self._bank_arrays = {}
+            self._compiled = {}
+            self._xla_only_keys = set()
+            trace(
+                "committed (df64):",
+                {n: self._df64_chains.get((n, -1)) for n in set(descriptor.lengths)},
+            )
+            return
 
         # Precompute every constant array for both directions (the reference
         # also builds forward and backward variants eagerly,
@@ -647,8 +695,139 @@ class CommittedDescriptor:
             finally:
                 self.use_pallas = prev
 
+    # ------------------------------------------------------------------
+    # Emulated-fp64 compute (double-double; ops/df64.py)
+    # ------------------------------------------------------------------
+
+    def _df64_core(self, direction):
+        """Traced (4-plane) transform over every axis for the df64 path."""
+        from .ops import df64 as _df64mod
+
+        d = self.descriptor
+        sign = _SIGN[direction]
+        ndims = len(d.lengths)
+
+        def fn(rh, rl, ih, il, bank):
+            x = ((rh, rl), (ih, il))
+            for axis in range(ndims - 1, -1, -1):
+                n = d.lengths[axis]
+                if n == 1:
+                    continue
+                if axis != ndims - 1:
+                    x = tuple(
+                        tuple(jnp.moveaxis(p, 1 + axis, -1) for p in pair)
+                        for pair in x
+                    )
+                chain = self._df64_chains[(n, sign)]
+                sub = {
+                    k[len(f"n{n}s{sign}_") :]: v
+                    for k, v in bank.items()
+                    if k.startswith(f"n{n}s{sign}_")
+                }
+                x = _df64mod.exec_chain(x, chain, sub)
+                if axis != ndims - 1:
+                    x = tuple(
+                        tuple(jnp.moveaxis(p, -1, 1 + axis) for p in pair)
+                        for pair in x
+                    )
+            scale = float(d.get_scale(direction))
+            if scale != 1.0:
+                sh, sl = _df64mod.split_f64(np.float64(scale))
+                (xrh, xrl), (xih, xil) = x
+                r = _df64mod.mul(xrh, xrl, jnp.float32(sh), jnp.float32(sl))
+                i = _df64mod.mul(xih, xil, jnp.float32(sh), jnp.float32(sl))
+                x = (r, i)
+            return x
+
+        return fn
+
+    def _compute_df64(self, direction, x, x_imag, out, out_imag):
+        """Out-of-core host canonicalization around the jitted df64 core:
+        gather/scatter and hi/lo splitting run in numpy (this path is
+        correctness-oriented capability, not a bandwidth path)."""
+        from .enums import Domain
+        from .ops import df64 as _df64mod
+
+        d = self.descriptor
+        if d.domain == Domain.REAL:
+            raise UnsupportedConfiguration(
+                "emulated fp64 supports the COMPLEX domain"
+            )
+        split_store = d.complex_storage == ComplexStorage.SPLIT_COMPLEX
+        if split_store:
+            if x_imag is None:
+                raise InvalidConfiguration(
+                    "SPLIT_COMPLEX storage requires both buffers"
+                )
+            re = np.asarray(x, np.float64).reshape(-1)
+            im = np.asarray(x_imag, np.float64).reshape(-1)
+        else:
+            xx = np.asarray(x)
+            if np.iscomplexobj(xx):
+                flat = np.ascontiguousarray(xx).view(np.float64).reshape(-1)
+            else:
+                flat = np.asarray(xx, np.float64).reshape(-1)
+            re, im = flat[0::2], flat[1::2]
+        need_in = d.get_input_count(direction)
+        if re.shape[0] < need_in:
+            raise InvalidConfiguration(
+                f"input buffer needs {need_in} complex elements"
+            )
+        idx_in = self._indices(direction)
+        xr = re[idx_in]
+        xi = im[idx_in]
+        rh, rl = _df64mod.split_f64(xr)
+        ih, il = _df64mod.split_f64(xi)
+
+        key = ("df64", direction, xr.shape)
+        fn = self._get_compiled(key, lambda: self._df64_core(direction), ())
+        (yrh, yrl), (yih, yil) = fn(
+            jnp.asarray(rh), jnp.asarray(rl), jnp.asarray(ih),
+            jnp.asarray(il), self._df64_bank,
+        )
+        yr = _df64mod.join_f64(np.asarray(yrh), np.asarray(yrl))
+        yi = _df64mod.join_f64(np.asarray(yih), np.asarray(yil))
+
+        out_dir = _inv(direction)
+        need_out = d.get_output_count(direction)
+        idx_out = self._indices(out_dir)
+        if split_store:
+            o_re = (
+                np.array(np.asarray(out, np.float64).reshape(-1))
+                if out is not None
+                else np.zeros(need_out, np.float64)
+            )
+            o_im = (
+                np.array(np.asarray(out_imag, np.float64).reshape(-1))
+                if out_imag is not None
+                else np.zeros(need_out, np.float64)
+            )
+            o_re[idx_out] = yr
+            o_im[idx_out] = yi
+            return o_re, o_im
+        o = np.zeros(2 * need_out, np.float64)
+        if out is not None:
+            oo = np.asarray(out)
+            prev = (
+                np.ascontiguousarray(oo).view(np.float64).reshape(-1)
+                if np.iscomplexobj(oo)
+                else np.asarray(oo, np.float64).reshape(-1)
+            )
+            o[: prev.shape[0]] = prev
+        o[0::2][idx_out] = yr
+        o[1::2][idx_out] = yi
+        return o.view(np.complex128)
+
     def _compute(self, direction, x, x_imag, out, out_imag):
         d = self.descriptor
+        if self._df64:
+            in_place_df = d.placement == Placement.IN_PLACE
+            if in_place_df and (out is not None or out_imag is not None):
+                raise InvalidConfiguration(
+                    "out= must not be given for an IN_PLACE committed "
+                    "descriptor"
+                )
+            return self._compute_df64(direction, x, x_imag, out, out_imag)
         in_place = d.placement == Placement.IN_PLACE
         if in_place and (out is not None or out_imag is not None):
             raise InvalidConfiguration(

@@ -244,6 +244,13 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
         lengths = d.lengths
         batch_last = total // lengths[-1]
         plan_last = committed.plans[lengths[-1]]
+        # the row pass reuses any 1D tuning for its length
+        row_tuned = tuning.lookup(
+            committed.config.name, "fused2", f"n{lengths[-1]}"
+        ) or {}
+        bt_row = row_tuned.get("bt")
+        if bt_row and batch_last % bt_row:
+            bt_row = None
 
         def fn(raw, bank):
             if last[0] == "direct":
@@ -256,7 +263,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
                 x = pallas_fft.fused2_raw_v2_call(
                     raw, batch_last, plan_last,
                     [bank[nm] for nm in last[1]], committed.config,
-                    committed.matmul_precision, 1.0,
+                    committed.matmul_precision, 1.0, bt_override=bt_row,
                 )
                 if x is None:
                     raise RawFastUnavailable()

@@ -29,7 +29,13 @@ from portfft_tpu.enums import Level  # noqa: E402
 SHAPES = [
     (16, 8 * 1024 * 1024),
     (256, 512 * 1024),
+    (512, 256 * 1024),
+    (1024, 128 * 1024),
+    (2048, 64 * 1024),
     (4096, 32 * 1024),
+    (8192, 16 * 1024),
+    (16384, 8 * 1024),
+    (32768, 4 * 1024),
     (65536, 2048),
     (1 << 17, 1024),
     (1 << 18, 512),

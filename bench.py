@@ -270,16 +270,6 @@ def main():
         file=sys.stderr,
     )
 
-    try:
-        ceil = measure_practical_ceiling()
-        print(
-            f"practical streaming ceiling (this run): {ceil:.0f} GB/s of "
-            f"{cfg.hbm_gbps:.0f} GB/s nominal",
-            file=sys.stderr,
-        )
-    except Exception:
-        pass
-
     gflops_list, eff_list = [], []
     for name, n, batch in CONFIGS:
         try:
@@ -295,6 +285,17 @@ def main():
             bench_config(name, n, batch, cfg.hbm_gbps)
         except Exception as exc:
             print(f"  {name}: FAILED {exc}", file=sys.stderr)
+    try:
+        # measured on the warmed chip: the realistic denominator for this
+        # run's bandwidth figures (cold-chip measurements read 10x low)
+        ceil = measure_practical_ceiling()
+        print(
+            f"practical streaming ceiling (this run): {ceil:.0f} GB/s of "
+            f"{cfg.hbm_gbps:.0f} GB/s nominal",
+            file=sys.stderr,
+        )
+    except Exception:
+        pass
     if not gflops_list:
         print(
             json.dumps(

@@ -235,7 +235,7 @@ def bench_extra(cfg):
 
 def measure_practical_ceiling():
     """Measured streaming rate of the attached chip right now (XLA
-    elementwise over 0.5 GiB, in+out counted) — the realistic denominator
+    elementwise over a 128 MiB buffer, in+out counted) — the realistic denominator
     for this run's bandwidth figures; the nominal HBM spec is rarely
     reachable and varies 2x run to run on tunneled chips."""
     import jax

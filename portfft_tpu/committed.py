@@ -106,7 +106,9 @@ class CommittedDescriptor:
         self._df64 = False
         if self.precision == np.float64:
             if emulate_fp64 is None:
-                emulate_fp64 = bool(_os.environ.get("PORTFFT_EMULATE_FP64"))
+                from .utils.logging import _env_flag
+
+                emulate_fp64 = _env_flag("PORTFFT_EMULATE_FP64")
             if jax.default_backend() == "tpu" or emulate_fp64:
                 if not emulate_fp64:
                     raise UnsupportedConfiguration(
@@ -791,29 +793,43 @@ class CommittedDescriptor:
         out_dir = _inv(direction)
         need_out = d.get_output_count(direction)
         idx_out = self._indices(out_dir)
+        in_place = d.placement == Placement.IN_PLACE
         if split_store:
-            o_re = (
-                np.array(np.asarray(out, np.float64).reshape(-1))
-                if out is not None
-                else np.zeros(need_out, np.float64)
-            )
-            o_im = (
-                np.array(np.asarray(out_imag, np.float64).reshape(-1))
-                if out_imag is not None
-                else np.zeros(need_out, np.float64)
-            )
+            if in_place:
+                o_re, o_im = re.copy(), im.copy()
+            else:
+                o_re = (
+                    np.asarray(out, np.float64).reshape(-1).copy()
+                    if out is not None
+                    else np.zeros(need_out, np.float64)
+                )
+                o_im = (
+                    np.asarray(out_imag, np.float64).reshape(-1).copy()
+                    if out_imag is not None
+                    else np.zeros(need_out, np.float64)
+                )
+            if o_re.shape[0] < need_out or o_im.shape[0] < need_out:
+                raise InvalidConfiguration(
+                    f"split output buffers need {need_out} elements"
+                )
             o_re[idx_out] = yr
             o_im[idx_out] = yi
             return o_re, o_im
-        o = np.zeros(2 * need_out, np.float64)
-        if out is not None:
+        if in_place:
+            o = flat.copy()  # preserve gap elements of the shared buffer
+        elif out is not None:
             oo = np.asarray(out)
-            prev = (
-                np.ascontiguousarray(oo).view(np.float64).reshape(-1)
+            o = (
+                np.ascontiguousarray(oo).view(np.float64).reshape(-1).copy()
                 if np.iscomplexobj(oo)
-                else np.asarray(oo, np.float64).reshape(-1)
+                else np.asarray(oo, np.float64).reshape(-1).copy()
             )
-            o[: prev.shape[0]] = prev
+        else:
+            o = np.zeros(2 * need_out, np.float64)
+        if o.shape[0] < 2 * need_out:
+            raise InvalidConfiguration(
+                f"output buffer needs {need_out} complex elements"
+            )
         o[0::2][idx_out] = yr
         o[1::2][idx_out] = yi
         return o.view(np.complex128)
@@ -1021,7 +1037,10 @@ class CommittedDescriptor:
                         compiled(flat_in, self._bank_arrays), kind
                     )
                 except fastpath.RawFastUnavailable:
+                    # shape-deterministic decline: drop the entry so later
+                    # calls skip the doomed re-trace on the hot path
                     self._compiled.pop(key, None)
+                    self._raw_fast.pop(direction, None)
                 except Exception as exc:
                     if not _is_kernel_rejection(exc):
                         raise

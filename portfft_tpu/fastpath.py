@@ -329,6 +329,8 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
     plan0 = committed.plans[d.lengths[0]]
     batch = d.number_of_transforms
     bt = overrides.get("bt")
+    if bt and (batch % bt or (bt * plan0.factors[0]) % 128):
+        bt = None  # stale tuning (different batch): let the kernel pick
 
     def fn(raw, bank):
         res = pallas_fft.fused2_raw_v2_call(

@@ -654,89 +654,6 @@ def _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec, scale, g):
     return out.reshape(total)
 
 
-def _pairswap(u, axis):
-    """Swap adjacent pairs along ``axis`` (re↔im of lane/sublane-interleaved
-    data): two rotates + a parity select — cheap VPU ops, no XPOSE."""
-    minus = pltpu.roll(u, -1, axis)
-    plus = pltpu.roll(u, 1, axis)
-    idx = jax.lax.broadcasted_iota(jnp.int32, u.shape, axis)
-    return jnp.where(idx % 2 == 0, minus, plus)
-
-
-def _parity_sign(shape, axis, dtype):
-    idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
-    return jnp.where(idx % 2 == 0, -jnp.ones(shape, dtype), jnp.ones(shape, dtype))
-
-
-def _pairswap_lanes(u):
-    """Swap adjacent lane pairs (re↔im of lane-interleaved data): two lane
-    rotates + a parity select — VPU ops, no transpose unit."""
-    minus = pltpu.roll(u, -1, 1)
-    plus = pltpu.roll(u, 1, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
-    return jnp.where(lane % 2 == 0, minus, plus)
-
-
-def _bi_direct_kernel(precision, scale):
-    """BATCH_INTERLEAVED direct FFT, raw in / raw out.
-
-    BI layout (buf[idx·batch + b], reference enums.hpp:55) viewed as scalar
-    rows (n, 2·batch) puts the transform on the sublane axis and re/im batch
-    pairs on lanes; one complex left-matmul pass:
-
-        y = W_re @ u + salt ⊙ (W_im @ pairswap(u)),   salt[2b]=-1, [2b+1]=+1
-
-    writes the transformed buffer back in BI layout — no data reordering at
-    all (the reference needed a dedicated batch-interleaved codepath with
-    local-memory staging, subgroup_dispatcher.hpp:174-416)."""
-
-    def kernel(x_ref, wr, wi, o_ref):
-        u = x_ref[...]  # (n, CT) = [idx, 2b+p]
-        v = _pairswap_lanes(u)
-        e1 = _mm(wr[...], u, precision)
-        e2 = _mm(wi[...], v, precision)
-        lane = jax.lax.broadcasted_iota(jnp.int32, e1.shape, 1)
-        y = jnp.where(lane % 2 == 0, e1 - e2, e1 + e2)
-        if scale != 1.0:
-            y = y * scale
-        o_ref[...] = y
-
-    return kernel
-
-
-def bi_direct_supported(n: int, batch: int) -> int:
-    """Lane-tile width for the BI fast path, or 0 if unsupported."""
-    if n > 256 or n % 8:
-        return 0
-    for ct in (2048, 1024, 512, 256):
-        if (2 * batch) % ct == 0:
-            return ct
-    return 0
-
-
-def bi_direct_call(
-    raw, n, batch, wr, wi, ct, config, precision=None, scale: float = 1.0
-):
-    """raw (2·batch·n,) in BI layout -> transformed raw, one kernel."""
-    prec = _kernel_precision(precision, n)
-    x2 = raw.reshape(n, 2 * batch)
-    spec = pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _bi_direct_kernel(prec, scale),
-        grid=((2 * batch) // ct,),
-        in_specs=[spec, _const_spec(wr), _const_spec(wi)],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((n, 2 * batch), raw.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=8 * batch * n * n,
-            bytes_accessed=2 * raw.shape[0] * 4,
-            transcendentals=0,
-        ),
-        interpret=_interpret_mode(),
-    )(x2, wr, wi)
-    return out.reshape(raw.shape[0])
-
-
 def leaf_dispatch(
     xr, xi, plan, sign, bank, *, bank_keys, config, precision=None
 ):

@@ -9,7 +9,7 @@ pipeline instead keeps the buffer PACKED interleaved end to end:
   ``fused2_raw_v2_call``) with batch = B·prod(lengths[:-1]);
 * every other axis — the column kernel here: the transform runs over the
   SUBLANE dimension via left matmuls with the re/im lane pairs untouched
-  (the pairswap trick of the BI kernel, ``_bi_direct_kernel``), so there is
+  (the pairswap trick), so there is
   no de/interleave and, unlike the lane-major case, no digit-reversal
   restack: sublane digit merges are plain leading-dim reshapes.
 

@@ -62,7 +62,9 @@ def _load() -> None:
 
 def lookup(device: str, kernel: str, key: str) -> Optional[dict]:
     """Tuned parameters for (device, kernel, key), user cache first."""
-    if os.environ.get("PORTFFT_NO_TUNING"):
+    from .utils.logging import _env_flag
+
+    if _env_flag("PORTFFT_NO_TUNING"):
         return None
     with _lock:
         _load()
@@ -84,6 +86,18 @@ def record(device: str, kernel: str, key: str, params: dict) -> None:
                 json.dump(_user, f, indent=1, sort_keys=True)
         except OSError:
             pass  # read-only home: keep the in-memory entry
+
+
+def forget(device: str, kernel: str, key: str) -> None:
+    """Remove a user-cache entry (e.g. a trial record that lost)."""
+    with _lock:
+        _load()
+        _user.get(device, {}).get(kernel, {}).pop(key, None)
+        try:
+            with open(_USER_PATH, "w") as f:
+                json.dump(_user, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
 
 
 def _reset_for_tests() -> None:

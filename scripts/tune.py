@@ -78,43 +78,53 @@ def tune_shape(n: int, batch: int, device: str) -> None:
               f"tuned={params} {t*1e3:8.3f} ms {gb/t:6.1f} GB/s", flush=True)
         return
 
-    # GLOBAL: search the split space too
+    # GLOBAL: search the split space too.  Trial splits are recorded into
+    # the user cache so the planner picks them up; the finally block always
+    # leaves either the measured winner or no entry at all — never a trial
+    # that declined or failed (and an aborted sweep cleans up too).
     from portfft_tpu.ops import pallas_global
 
     best = None
-    for g1 in (256, 512, 1024, 2048):
-        if n % g1:
-            continue
-        g2 = n // g1
-        if g2 < 8 or g2 > 2048:
-            continue
-        tuning.record(device, "global_split", f"n{n}",
-                      {"g1": g1, "g2": g2})
-        plan = pfft.Descriptor(
-            lengths=[n], number_of_transforms=batch
-        ).commit()
-        p = plan.plans[n]
-        if not pallas_global.global2_raw_supported(
-            p, plan.config.direct_threshold
-        ):
-            print(f"  n={n} split {g1}x{g2}: engine declines", flush=True)
-            continue
-        try:
-            plan.autotune()  # records t1/t2 under the split-specific key
-            t = measure_plan(plan, x)
-        except Exception as exc:
-            print(f"  n={n} split {g1}x{g2}: FAIL {str(exc)[:90]}",
-                  flush=True)
-            continue
-        print(f"  n={n} split {g1}x{g2} [{p.describe()}]: "
-              f"{t*1e3:8.3f} ms {gb/t:6.1f} GB/s", flush=True)
-        if best is None or t < best[0]:
-            best = (t, g1, g2)
+    try:
+        for g1 in (256, 512, 1024, 2048):
+            if n % g1:
+                continue
+            g2 = n // g1
+            if g2 < 8 or g2 > 2048:
+                continue
+            tuning.record(device, "global_split", f"n{n}",
+                          {"g1": g1, "g2": g2})
+            plan = pfft.Descriptor(
+                lengths=[n], number_of_transforms=batch
+            ).commit()
+            p = plan.plans[n]
+            if not pallas_global.global2_raw_supported(
+                p, plan.config.direct_threshold
+            ):
+                print(f"  n={n} split {g1}x{g2}: engine declines",
+                      flush=True)
+                continue
+            try:
+                plan.autotune()  # records t1/t2 under the split key
+                t = measure_plan(plan, x)
+            except Exception as exc:
+                print(f"  n={n} split {g1}x{g2}: FAIL {str(exc)[:90]}",
+                      flush=True)
+                continue
+            print(f"  n={n} split {g1}x{g2} [{p.describe()}]: "
+                  f"{t*1e3:8.3f} ms {gb/t:6.1f} GB/s", flush=True)
+            if best is None or t < best[0]:
+                best = (t, g1, g2)
+    finally:
+        if best is None:
+            tuning.forget(device, "global_split", f"n{n}")
+        else:
+            tuning.record(device, "global_split", f"n{n}",
+                          {"g1": best[1], "g2": best[2]})
     if best is None:
         print(f"n={n}: no viable split", flush=True)
         return
     t, g1, g2 = best
-    tuning.record(device, "global_split", f"n{n}", {"g1": g1, "g2": g2})
     print(f"n={n:8d} WINNER split {g1}x{g2}: {t*1e3:8.3f} ms "
           f"{gb/t:6.1f} GB/s", flush=True)
 

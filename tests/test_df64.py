@@ -97,3 +97,56 @@ def test_df64_large_prime_unsupported():
         Descriptor(lengths=[65537], precision="float64").commit(
             emulate_fp64=True
         )
+
+
+def test_df64_out_buffer_and_inplace_preserve():
+    """Review regression: out= larger than required must not crash, and
+    IN_PLACE gap elements must be preserved (the compute contract)."""
+    from portfft_tpu import Placement
+
+    n, b = 8, 2
+    plan = Descriptor(
+        lengths=[n], number_of_transforms=b, precision="float64"
+    ).commit(emulate_fp64=True)
+    rng = np.random.default_rng(6)
+    x = (rng.standard_normal(b * n) + 1j * rng.standard_normal(b * n)).astype(
+        np.complex128
+    )
+    big = np.full(2 * b * n, 7 + 7j, np.complex128)  # double-size out
+    y = plan.compute_forward(x, out=big)
+    ref = np.fft.fft(x.reshape(b, n), axis=1).reshape(-1)
+    got = np.asarray(y)[: b * n]
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < RTOL
+    assert np.all(np.asarray(y)[b * n :] == 7 + 7j)  # tail preserved
+
+    # IN_PLACE with a gap (distance > n): gap elements survive
+    plan2 = Descriptor(
+        lengths=[n],
+        number_of_transforms=b,
+        precision="float64",
+        placement=Placement.IN_PLACE,
+        forward_distance=n + 4,
+        backward_distance=n + 4,
+    ).commit(emulate_fp64=True)
+    buf = np.full(b * (n + 4), 7 + 7j, np.complex128)
+    rng2 = np.random.default_rng(7)
+    vals = (
+        rng2.standard_normal((b, n)) + 1j * rng2.standard_normal((b, n))
+    )
+    view = buf.reshape(b, n + 4)
+    view[:, :n] = vals
+    y2 = np.asarray(plan2.compute_forward(buf)).reshape(b, n + 4)
+    ref2 = np.fft.fft(vals, axis=1)
+    assert np.linalg.norm(y2[:, :n] - ref2) / np.linalg.norm(ref2) < RTOL
+    assert np.all(y2[:, n:] == 7 + 7j)  # gap untouched
+
+
+def test_env_flag_zero_means_off(monkeypatch):
+    """PORTFFT_EMULATE_FP64=0 must NOT enable emulation (review fix)."""
+    import jax
+
+    monkeypatch.setenv("PORTFFT_EMULATE_FP64", "0")
+    if jax.default_backend() == "cpu":
+        # on CPU the native x64 path should be taken, not df64
+        plan = Descriptor(lengths=[64], precision="float64").commit()
+        assert plan._df64 is False

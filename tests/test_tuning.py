@@ -68,3 +68,32 @@ def test_autotune_interpreter(tmp_cache):
     flat = oracle.materialize(desc, x, Direction.FORWARD)
     out = np.asarray(plan.compute_forward(flat))
     oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
+
+
+def test_no_tuning_env_zero_means_on(tmp_cache, monkeypatch):
+    """PORTFFT_NO_TUNING=0 must keep tuning lookups enabled (review fix)."""
+    monkeypatch.setenv("PORTFFT_NO_TUNING", "0")
+    tuning.record("cpu", "direct", "n99", {"rt": 512})
+    assert tuning.lookup("cpu", "direct", "n99") == {"rt": 512}
+    monkeypatch.setenv("PORTFFT_NO_TUNING", "1")
+    assert tuning.lookup("cpu", "direct", "n99") is None
+
+
+def test_forget_removes_entry(tmp_cache):
+    tuning.record("cpu", "global_split", "n999", {"g1": 3, "g2": 333})
+    tuning.forget("cpu", "global_split", "n999")
+    assert tuning.lookup("cpu", "global_split", "n999") is None
+    tuning.forget("cpu", "global_split", "never_there")  # no-op, no raise
+
+
+def test_stale_bt_override_does_not_degrade(tmp_cache):
+    """A tuned bt that does not divide the batch is ignored (the kernel
+    picks its own tile) instead of silently dropping to the v1 kernel."""
+    desc = Descriptor(lengths=[1024], number_of_transforms=100)
+    plan = desc.commit(use_pallas=True)
+    tuning.record(plan.config.name, "fused2", "n1024", {"bt": 32})
+    x = oracle.gen_input(desc, 9)
+    ref = oracle.reference_output(desc, x, Direction.FORWARD)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)

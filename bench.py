@@ -24,7 +24,7 @@ buffers — every iteration streams from HBM — so one input buffer is
 reused; the measured figure is genuine HBM throughput either way.
 Run-to-run variance of the attached chip's effective HBM rate is large
 (measured 150-340 GB/s for identical kernels across sessions), hence
-min-of-samples and the practical-ceiling line printed with the results.
+min-of-samples; treat absolute GB/s with that context.
 
 The default run also reports the GLOBAL-level ladder N=2^17..2^20 (the
 north-star range top, BASELINE.json) on stderr; the JSON headline keeps
@@ -233,32 +233,18 @@ def bench_extra(cfg):
             print(f"  {name}: FAILED {e}", file=sys.stderr)
 
 
-def measure_practical_ceiling():
-    """Measured streaming rate of the attached chip right now (XLA
-    elementwise over a 128 MiB buffer, in+out counted) — the realistic denominator
-    for this run's bandwidth figures; the nominal HBM spec is rarely
-    reachable and varies 2x run to run on tunneled chips."""
-    import jax
-    import jax.numpy as jnp
-
-    m = 128 * 1024 * 1024 // 4
-    x = jnp.asarray(np.ones((m // 128, 128), np.float32))
-    f = jax.jit(lambda a: a * 1.0001)
-    _sync(f(x))
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(4):
-            y = f(x)
-        _sync(y)
-        t = (time.perf_counter() - t0) / 4
-        best = t if best is None else min(best, t)
-    return 2 * m * 4 / best / 1e9
-
-
 def main():
     import jax
     import portfft_tpu as pfft
+
+    # repeated bench runs (and the driver's re-run) hit the persistent XLA
+    # cache instead of paying ~20-40 s Mosaic compiles per shape
+    try:
+        from portfft_tpu.config import enable_persistent_cache
+
+        enable_persistent_cache()
+    except Exception:
+        pass
 
     dev = jax.devices()[0]
     cfg = pfft.resolve_device_config(dev)
@@ -285,33 +271,6 @@ def main():
             bench_config(name, n, batch, cfg.hbm_gbps)
         except Exception as exc:
             print(f"  {name}: FAILED {exc}", file=sys.stderr)
-    try:
-        # measured on the warmed chip: the realistic denominator for this
-        # run's bandwidth figures (cold-chip measurements read 10x low)
-        ceil = measure_practical_ceiling()
-        print(
-            f"practical streaming ceiling (this run): {ceil:.0f} GB/s of "
-            f"{cfg.hbm_gbps:.0f} GB/s nominal",
-            file=sys.stderr,
-        )
-    except Exception:
-        pass
-    if not gflops_list:
-        print(
-            json.dumps(
-                {
-                    "metric": "batched 1D C2C fp32 fwd GFLOP/s",
-                    "value": 0.0,
-                    "unit": "GFLOP/s",
-                    "vs_baseline": 0.0,
-                }
-            )
-        )
-        return
-
-    if "--set" in sys.argv and "full" in sys.argv:
-        bench_extra(cfg)
-
     geo_gflops = math.exp(sum(math.log(g) for g in gflops_list) / len(gflops_list))
     geo_eff = math.exp(sum(math.log(e) for e in eff_list) / len(eff_list))
     print(

@@ -169,3 +169,14 @@ def test_pallas_split_storage():
     )
     out = np.asarray(yr) + 1j * np.asarray(yi)
     oracle.verify(desc, out, ref, F, check_padding=False)
+
+
+def test_pallas_multidim_unit_axes():
+    # length-1 outer axes are skipped by the raw pipeline (cols entry None)
+    desc = Descriptor(lengths=[1, 64, 128], number_of_transforms=2)
+    plan = desc.commit(use_pallas=True)
+    x = oracle.gen_input(desc, 14)
+    ref = oracle.reference_output(desc, x, F)
+    flat = oracle.materialize(desc, x, F)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, F, check_padding=False)

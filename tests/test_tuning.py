@@ -97,3 +97,25 @@ def test_stale_bt_override_does_not_degrade(tmp_cache):
     flat = oracle.materialize(desc, x, Direction.FORWARD)
     out = np.asarray(plan.compute_forward(flat))
     oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
+
+
+def test_shipped_defaults_are_consistent():
+    """The shipped tuning_defaults.json must load and its global splits
+    must actually factor their sizes (a corrupt table would silently plan
+    nonsense)."""
+    import json
+    import os
+
+    import portfft_tpu.tuning as t
+
+    with open(os.path.join(os.path.dirname(t.__file__),
+                           "tuning_defaults.json")) as f:
+        ship = json.load(f)
+    for dev, tbl in ship.items():
+        for key, params in tbl.get("global_split", {}).items():
+            n = int(key[1:])
+            assert params["g1"] * params["g2"] == n, (dev, key, params)
+        for key, params in tbl.get("fused2", {}).items():
+            assert params.get("bt", 1) >= 1
+        for key, params in tbl.get("direct", {}).items():
+            assert params.get("rt", 8) >= 8

@@ -116,6 +116,12 @@ class CommittedDescriptor:
                         "devices; commit(emulate_fp64=True) opts into the "
                         "double-double emulation (~2^-48 precision)"
                     )
+                from .enums import Domain as _D
+
+                if descriptor.domain == _D.REAL:
+                    raise UnsupportedConfiguration(
+                        "emulated fp64 supports the COMPLEX domain"
+                    )
                 from .ops import df64 as _df64mod
 
                 for ln in set(descriptor.lengths):
@@ -764,6 +770,11 @@ class CommittedDescriptor:
             re = np.asarray(x, np.float64).reshape(-1)
             im = np.asarray(x_imag, np.float64).reshape(-1)
         else:
+            if x_imag is not None:
+                raise InvalidConfiguration(
+                    "INTERLEAVED_COMPLEX storage takes a single complex "
+                    "buffer"
+                )
             xx = np.asarray(x)
             if np.iscomplexobj(xx):
                 flat = np.ascontiguousarray(xx).view(np.float64).reshape(-1)

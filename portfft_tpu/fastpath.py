@@ -249,8 +249,12 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
             committed.config.name, "fused2", f"n{lengths[-1]}"
         ) or {}
         bt_row = row_tuned.get("bt")
-        if bt_row and batch_last % bt_row:
-            bt_row = None
+        if bt_row and (
+            batch_last % bt_row
+            or last[0] != "direct"
+            and (bt_row * plan_last.factors[0]) % 128
+        ):
+            bt_row = None  # stale/invalid tuning: let the kernel pick
 
         def fn(raw, bank):
             if last[0] == "direct":

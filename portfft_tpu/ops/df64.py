@@ -149,7 +149,7 @@ def df64_tables(n: int, sign: int):
             hi, lo = split_f64(v)
             tabs[f"s{idx}_{name}h"] = hi
             tabs[f"s{idx}_{name}l"] = lo
-        if f"f{f}_wr_h" not in tabs:
+        if f"f{f}_wrh" not in tabs:
             k = np.arange(f, dtype=np.float64)
             th = (2.0 * np.pi / f) * np.mod(k[:, None] * k[None, :], f)
             for name, v in (("wr", np.cos(th)), ("wi", sign * np.sin(th))):

@@ -607,14 +607,10 @@ def fused2_raw_v2_call(
     def viable(bt_):
         return batch % bt_ == 0 and (bt_ * a) % 128 == 0
 
+    from ..planner import two_stage_vmem_bytes
+
     def bytes_est(bt_):
-        L = bt_ * 128
-        return (
-            2 * 2 * bt_ * 2 * n * 4    # in/out blocks (×2 buffers each)
-            + 2 * bt_ * a * 128 * 4    # plane scratches
-            + 8 * a * L * 4            # stage tensors
-            + 2 * a * L * 4            # s2
-        )
+        return two_stage_vmem_bytes(a, bt_)
 
     bt = bt_override or min(plan.batch_tile, config.batch_tile)
     if not bt_override:

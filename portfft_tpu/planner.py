@@ -146,23 +146,29 @@ def _fused_capable(n: int, factors, cfg: DeviceConfig, itemsize: int) -> bool:
     )
 
 
-def _two_stage_vmem_ok(a: int, cfg: DeviceConfig, itemsize: int) -> bool:
-    """True when the raw two-stage kernel (ops/pallas_fft.py
-    _fused2_raw_v2_kernel) fits VMEM at its smallest legal batch tile for
-    n = a·128.  For a ≥ 64 the k2-fold is trivial (g ≤ 2) and bt can drop
-    to 128/gcd(a,128), which keeps the working set bounded even at
-    n = 512·128 = 65536 — a single one-pass kernel where the generic
-    fused estimate (8-row tiles) would force the two-pass engine."""
+def two_stage_vmem_bytes(a: int, bt: int, itemsize: int = 4) -> int:
+    """VMEM working set of the raw two-stage [a, 128] kernel at batch tile
+    ``bt`` — the SINGLE source of this estimate (the kernel, the planner
+    and the autotuner all consume it; hand-copies drifted in round 1)."""
     n = a * 128
-    bt = 128 // math.gcd(a, 128)
     ln = bt * 128
-    est = (
+    return (
         2 * 2 * bt * 2 * n * itemsize      # in/out flat blocks, 2 buffers
         + 2 * bt * a * 128 * itemsize      # plane scratches
         + 8 * a * ln * itemsize            # stage tensors + bf16 temps
         + 2 * a * ln * itemsize            # interleave scratch
     )
-    return est <= cfg.vmem_budget
+
+
+def _two_stage_vmem_ok(a: int, cfg: DeviceConfig, itemsize: int) -> bool:
+    """True when the raw two-stage kernel (ops/pallas_fft.py
+    _fused2_raw_v2_kernel) fits VMEM at its smallest legal batch tile for
+    n = a·128.  For a ≥ 64 the k2-fold is trivial (g ≤ 2) and bt can drop
+    to 128/gcd(a,128), which keeps the working set bounded even at
+    n = 256·128 = 32768 — a single one-pass kernel where the generic
+    fused estimate (8-row tiles) would force the two-pass engine."""
+    bt = 128 // math.gcd(a, 128)
+    return two_stage_vmem_bytes(a, bt, itemsize) <= cfg.vmem_budget
 
 
 def _pick_batch_tile(n, factors, cfg: DeviceConfig, itemsize: int) -> int:

@@ -125,6 +125,8 @@ def _variants_for_entry(committed, entry) -> list[dict]:
                 out.append({"rt": rt})
         return out
     if kind == "fused2":
+        from .planner import two_stage_vmem_bytes
+
         plan = committed.plans[n]
         a = plan.factors[0]
         return [
@@ -133,8 +135,7 @@ def _variants_for_entry(committed, entry) -> list[dict]:
             if d.number_of_transforms % bt == 0
             and (bt * a) % 128 == 0
             # skip sure VMEM overruns (the kernel's own estimate)
-            and 2 * 2 * bt * 2 * n * 4 + 10 * a * bt * 128 * 4
-            <= committed.config.vmem_bytes
+            and two_stage_vmem_bytes(a, bt) <= committed.config.vmem_bytes
         ]
     if kind == "global2":
         from .ops.pallas_global import pass_est_bytes

@@ -229,16 +229,30 @@ class Descriptor:
 
     # -- commit --------------------------------------------------------------
 
-    def commit(self, device=None, **options):
+    def commit(self, device=None, mesh=None, **options):
         """Validate and plan the transform; returns a CommittedDescriptor.
 
         The JAX analogue of reference descriptor.hpp:152-156: validation, then
         plan construction (factorization + level selection), twiddle
         precomputation onto ``device``, and jit-specialization of the compute
         callables.
+
+        ``mesh`` (a ``jax.sharding.Mesh``) commits a DISTRIBUTED plan
+        instead (parallel.sharded.DistributedCommitted): the batch dimension
+        shards over ``batch_axis`` (default "dp"), and passing
+        ``seq_axis=...`` additionally shards the transform dimension via the
+        all_to_all four-step.  Capability beyond the reference (single
+        device, SURVEY.md §5.8).
         """
-        from .committed import CommittedDescriptor
         from .validation import validate_descriptor
 
         validate_descriptor(self)
+        if mesh is not None:
+            from .parallel.sharded import DistributedCommitted
+
+            return DistributedCommitted(
+                dataclasses.replace(self), mesh, device=device, **options
+            )
+        from .committed import CommittedDescriptor
+
         return CommittedDescriptor(dataclasses.replace(self), device=device, **options)

@@ -95,10 +95,25 @@ def register(committed) -> dict:
                 key = bank.vmat(n0, sign, chunk, scale)
                 out[direction] = ("direct", key, chunk, rt, total)
         elif plan0.level == Level.GLOBAL:
-            if pallas_global.global2_raw_supported(
+            from .ops import pallas_global3
+
+            g3info = None
+            if pallas_global3.global3_supported(plan0, committed.config):
+                g1p, g2p = plan0.sub
+                names_by_t1 = {}
+                for t1 in pallas_global3.T1_CANDIDATES:
+                    if g2p.n % t1:
+                        continue
+                    names_by_t1[t1] = pallas_global3.p1_table_names(
+                        g1p, n0, t1, sign, bank
+                    )
+                if names_by_t1:
+                    vs = bank.vmat_split(g2p.n, sign, 1, scale)
+                    g3info = (names_by_t1, vs)
+            if g3info or pallas_global.global2_raw_supported(
                 plan0, committed.config.direct_threshold
             ):
-                out[direction] = ("global2", sign, scale, total)
+                out[direction] = ("global2", sign, scale, total, g3info)
         elif pallas_fft.fused2_raw_supported(
             n0, plan0, d.number_of_transforms
         ):
@@ -117,7 +132,16 @@ def register(committed) -> dict:
             names_v2 = [
                 wa + "r", wa + "i", tu + "r", tu + "i", wb2 + "r", wb2 + "i",
             ]
-            out[direction] = ("fused2", (names_v1, names_v2), scale, total)
+            # v3 (interleaved stages): pair-expanded twiddle + split-output
+            # stage-B tables with the fold permutation and scale folded in.
+            te = bank.twiddle_expanded(a0, 128, sign)
+            vs = bank.vmat_split(128, sign, max(g, 1), scale)
+            names_v3 = [
+                wa + "r", wa + "i", te + "r", te + "i", vs + "r", vs + "i",
+            ]
+            out[direction] = (
+                "fused2", (names_v1, names_v2, names_v3), scale, total
+            )
     return out
 
 
@@ -307,7 +331,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
 
         return fn
     if kind == "global2":
-        _, sign, scale, total = entry
+        _, sign, scale, total, g3info = entry
         if flat_len != 2 * total:
             return None
         plan0 = committed.plans[d.lengths[0]]
@@ -315,11 +339,41 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
         keys = committed._bank_keys
         t1 = overrides.get("t1", 0)
         t2 = overrides.get("t2", 0)
+        # engine selection: 3 = interleaved two-pass (default when capable),
+        # 2 = the round-2 plane engine.  Tuned entries without an "eng" key
+        # predate v3 and were measured on engine 2.
+        eng = overrides.get("eng", 3 if g3info else 2)
+        if "t1" in overrides and "eng" not in overrides:
+            eng = 2
+        fn3 = None
+        if eng == 3 and g3info is not None:
+            from .ops import pallas_global3
+
+            names_by_t1, vs_name = g3info
+            g1p, g2p = plan0.sub
+            t1c = t1 or pallas_global3._pick_t1(
+                g2p.n, g1p.n, int(committed.config.vmem_bytes * 3 / 4),
+                g1p.level != Level.DIRECT,
+            )
+            names1 = names_by_t1.get(t1c)
+            if names1:
+                fn3 = pallas_global3.build_call(
+                    plan0, sign, names1, vs_name, committed.config,
+                    committed.matmul_precision, t1c, t2,
+                )
+
+        if fn3 is not None:
+
+            def fn(raw, bank):
+                return fn3(raw, batch, bank)
+
+            return fn
 
         def fn(raw, bank):
             res = pallas_global.global2_raw_call(
                 raw, batch, plan0, sign, keys, bank, committed.config,
-                committed.matmul_precision, scale, t1, t2,
+                committed.matmul_precision, scale,
+                t1 if eng == 2 else 0, t2 if eng == 2 else 0,
             )
             if res is None:  # no viable pass tiling for this shape
                 raise RawFastUnavailable()
@@ -327,21 +381,36 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
 
         return fn
     # fused2
-    _, (names_v1, names_v2), scale, total = entry
+    _, (names_v1, names_v2, names_v3), scale, total = entry
     if flat_len != 2 * total:
         return None
     plan0 = committed.plans[d.lengths[0]]
     batch = d.number_of_transforms
     bt = overrides.get("bt")
-    if bt and (batch % bt or (bt * plan0.factors[0]) % 128):
+    # engine selection mirrors "global2": tuned entries without "eng"
+    # predate the interleaved v3 kernel and were measured on v2.
+    eng = overrides.get("eng", 3)
+    if "bt" in overrides and "eng" not in overrides:
+        eng = 2
+    if bt and batch % bt:
         bt = None  # stale tuning (different batch): let the kernel pick
+    if bt and eng == 2 and (bt * plan0.factors[0]) % 128:
+        bt = None
 
     def fn(raw, bank):
-        res = pallas_fft.fused2_raw_v2_call(
-            raw, batch, plan0, [bank[nm] for nm in names_v2],
-            committed.config, committed.matmul_precision, scale,
-            bt_override=bt,
-        )
+        res = None
+        if eng == 3:
+            res = pallas_fft.fused2_raw_v3_call(
+                raw, batch, plan0, [bank[nm] for nm in names_v3],
+                committed.config, committed.matmul_precision,
+                bt_override=bt,
+            )
+        if res is None:
+            res = pallas_fft.fused2_raw_v2_call(
+                raw, batch, plan0, [bank[nm] for nm in names_v2],
+                committed.config, committed.matmul_precision, scale,
+                bt_override=bt if eng == 2 else None,
+            )
         if res is None:
             res = pallas_fft.fused2_raw_call(
                 raw, batch, plan0, [bank[nm] for nm in names_v1],

@@ -116,16 +116,32 @@ def join_f64(hi, lo) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _factorize(n: int):
-    """Small-radix chain for the butterfly executor (radix 8 preferred —
-    f·~60 elementwise df64 ops per element per stage is minimized near 8);
-    None when a prime factor exceeds 13."""
+    """Radix chain for the butterfly executor: preferred small radices
+    (radix 8 minimizes the ~60 elementwise df64 ops per element per
+    stage), then any remaining prime ≤ 128 as a naive per-row DFT stage
+    (the reference's naive_dft fallback for primes, workitem.hpp:65-89).
+    None when a prime factor exceeds 128 (→ caller raises; Bluestein in
+    df64 would need a df64 convolution engine)."""
     out = []
     rest = n
     for f in (8, 9, 13, 11, 7, 5, 4, 3, 2):
         while rest % f == 0:
             out.append(f)
             rest //= f
-    return out if rest == 1 else None
+    if rest > 1:
+        d = 3
+        while d * d <= rest:
+            while rest % d == 0:
+                if d > 128:
+                    return None
+                out.append(d)
+                rest //= d
+            d += 2
+        if rest > 1:
+            if rest > 128:
+                return None
+            out.append(rest)
+    return out
 
 
 def df64_tables(n: int, sign: int):
@@ -166,32 +182,28 @@ def df64_tables(n: int, sign: int):
 
 def _dft_factor(x, f: int, bank, prefix: str):
     """Naive f-point DFT along axis -2 of ((rh, rl), (ih, il)) with shape
-    (..., f, m): f² elementwise df64 multiply-adds (f ≤ 16)."""
+    (..., f, m).  Vectorized over the output index k: one df64
+    multiply-accumulate per input row j (f iterations of ~60 broadcast VPU
+    ops), so the unrolled program is O(f), not O(f²) — which keeps compile
+    tractable up to the f ≤ 128 naive-prime stages."""
     (rh, rl), (ih, il) = x
     wrh = bank[prefix + "wrh"]
     wrl = bank[prefix + "wrl"]
     wih = bank[prefix + "wih"]
     wil = bank[prefix + "wil"]
-    outs = []
-    for k in range(f):
-        acc_r = acc_i = None
-        for j in range(f):
-            xr = (rh[..., j, :], rl[..., j, :])
-            xi = (ih[..., j, :], il[..., j, :])
-            w_r = (wrh[j, k], wrl[j, k])
-            w_i = (wih[j, k], wil[j, k])
-            pr, pi = cmul(xr, xi, w_r, w_i)
-            if acc_r is None:
-                acc_r, acc_i = pr, pi
-            else:
-                acc_r = add(*acc_r, *pr)
-                acc_i = add(*acc_i, *pi)
-        outs.append((acc_r, acc_i))
-    rh2 = jnp.stack([o[0][0] for o in outs], axis=-2)
-    rl2 = jnp.stack([o[0][1] for o in outs], axis=-2)
-    ih2 = jnp.stack([o[1][0] for o in outs], axis=-2)
-    il2 = jnp.stack([o[1][1] for o in outs], axis=-2)
-    return (rh2, rl2), (ih2, il2)
+    acc_r = acc_i = None
+    for j in range(f):
+        xr = (rh[..., j : j + 1, :], rl[..., j : j + 1, :])  # (..., 1, m)
+        xi = (ih[..., j : j + 1, :], il[..., j : j + 1, :])
+        w_r = (wrh[j][:, None], wrl[j][:, None])  # (f, 1) -> k on axis -2
+        w_i = (wih[j][:, None], wil[j][:, None])
+        pr, pi = cmul(xr, xi, w_r, w_i)  # broadcast -> (..., f, m)
+        if acc_r is None:
+            acc_r, acc_i = pr, pi
+        else:
+            acc_r = add(*acc_r, *pr)
+            acc_i = add(*acc_i, *pi)
+    return acc_r, acc_i
 
 
 def exec_chain(x, chain, bank, stage: int = 0):

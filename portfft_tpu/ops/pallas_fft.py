@@ -650,6 +650,117 @@ def _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec, scale, g):
     return out.reshape(total)
 
 
+def _fused2_raw_v3_kernel(a: int, bt: int, precision, g: int):
+    """Interleaved-stage two-stage kernel: the input is never deinterleaved.
+
+    Stage A runs as a left complex matmul directly on the lane-interleaved
+    block (the column kernel's pairswap primitive, ops/pallas_multidim.py
+    ``_cmm_left_raw``), the inter-factor twiddle applies via the roll-based
+    ``_ctw_raw``, and stage B right-multiplies by split-output interleaved
+    tables (256, 128) that produce the separate re/im planes the v2 output
+    fold consumes unchanged.  Removes v2's per-128-row deinterleave
+    (1×(128,256) transpose + 2 strided slices + 2×(128,128) transposes) and
+    one (1,0,2) plane permute — the XPOSE work that capped the fused2 family
+    at ~190-200 GB/s (round-2 measurement) — at the cost of ~3 extra
+    lane-roll passes.  Same flop count (complex arithmetic rides inside the
+    wider real matmuls).
+
+    Tables: [Wa_r, Wa_i, E_r, E_i, Vs_r, Vs_i] — Wa the (a, a) DFT planes,
+    E the (a, 256) pair-expanded inter-factor twiddle
+    (TwiddleBank.twiddle_expanded), Vs the (256, 128) split-output stage-B
+    tables with the k2-fold column permutation and scale folded in
+    (TwiddleBank.vmat_split).
+    """
+    from .pallas_multidim import _pairswap_last, _ctw_raw
+
+    def kernel(x_ref, war, wai, er, ei, vr, vi, o_ref, s2):
+        rows = bt * a
+        x = x_ref[...].reshape(rows, 256)
+        x3 = x.reshape(bt, a, 256)
+        x3 = jnp.transpose(x3, (1, 0, 2))  # (a, bt, 256) [n1, b, 2n2+q]
+        dump("fused2_v3.in", x3)
+        # Left complex matmul on interleaved lanes (_cmm_left_raw) with the
+        # roll/iota-select ops kept on the NARROW 3D views — pairswap at
+        # bt·256-wide 2D lanes sends the Mosaic compile into a known spiral.
+        xs3 = _pairswap_last(x3)
+        e1 = _mm(war[...], x3.reshape(a, bt * 256), precision)
+        e2 = _mm(wai[...], xs3.reshape(a, bt * 256), precision)
+        e13 = e1.reshape(a, bt, 256)
+        e23 = e2.reshape(a, bt, 256)
+        lane = jax.lax.broadcasted_iota(jnp.int32, e13.shape, 2)
+        p3 = jnp.where(lane % 2 == 0, e13 - e23, e13 + e23)
+        p3 = _ctw_raw(
+            p3, er[...].reshape(a, 1, 256), ei[...].reshape(a, 1, 256)
+        )
+        cr = _mm(p3, vr[...], precision)  # (a, bt, 128) [k1, b, k2-storage]
+        ci = _mm(p3, vi[...], precision)
+        dump("fused2_v3.stageB", cr)
+        # v2's natural-order k2-fold + interleave (see _fused2_raw_v2_kernel)
+        if g == 1:
+            s2[0::2] = cr
+            s2[1::2] = ci
+        else:
+            Lg = 128 // g
+            for j in range(g):
+                lane = slice(j * Lg, (j + 1) * Lg)
+                s2[j * 2 * a : (j + 1) * 2 * a : 2] = cr[:, :, lane]
+                s2[j * 2 * a + 1 : (j + 1) * 2 * a : 2] = ci[:, :, lane]
+        v = jnp.transpose(s2[...], (1, 0, 2))  # (bt, 2ag, 128/g)
+        v = jnp.swapaxes(v, 1, 2)  # (bt, 128/g, 2ag) = natural scalar order
+        o_ref[...] = v.reshape(2 * rows, 128)
+
+    return kernel
+
+
+def fused2_raw_v3_call(
+    raw, batch, plan, tables_v3, config, precision=None,
+    bt_override: int | None = None,
+):
+    """tables_v3 = [Wa_r, Wa_i, E_r, E_i, Vs_r, Vs_i] (see the kernel
+    docstring).  Scale lives inside the Vs tables."""
+    n = plan.n
+    a = plan.factors[0]
+    g = fold_factor(a)
+    if g == 0:
+        return None
+    prec = _kernel_precision(precision, n)
+
+    def viable(bt_):
+        return batch % bt_ == 0 and (bt_ * a) % 8 == 0
+
+    from ..planner import two_stage_vmem_bytes
+
+    bt = bt_override or min(plan.batch_tile, config.batch_tile)
+    if not bt_override:
+        while bt > 1 and (
+            two_stage_vmem_bytes(a, bt) > config.vmem_budget or not viable(bt)
+        ):
+            bt //= 2
+    if not viable(bt):
+        return None
+    total = raw.shape[0]
+    x2 = raw.reshape(total // 128, 128)  # layout-free view
+    blk = 2 * bt * a
+    spec = pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _fused2_raw_v3_kernel(a, bt, prec, g),
+        grid=(batch // bt,),
+        in_specs=[spec] + [_const_spec(t) for t in tables_v3],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((total // 128, 128), raw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * a * g, bt, 128 // g), raw.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * batch * n * (a + 128),
+            bytes_accessed=2 * total * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret_mode(),
+    )(x2, *tables_v3)
+    return out.reshape(total)
+
+
 def leaf_dispatch(
     xr, xi, plan, sign, bank, *, bank_keys, config, precision=None
 ):

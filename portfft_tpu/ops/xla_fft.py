@@ -27,6 +27,7 @@ BLUESTEIN converts a large-prime size into a padded power-of-two convolution.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional
 
@@ -220,6 +221,71 @@ class TwiddleBank:
             self.host[key] = None
         return key
 
+    def twiddle_expanded(self, f: int, m: int, sign: int) -> str:
+        """Inter-factor twiddles in (f, 2m) lane-pair-expanded orientation:
+        column 2t and 2t+1 both hold T[j, t].  Broadcast tables for the
+        roll-based interleaved complex multiply (_ctw_raw) in the v3
+        interleaved-stage kernels."""
+        key = f"E{'f' if sign < 0 else 'b'}{f}x{m}"
+        if key not in self.host:
+            re, im = tw.twiddles(f, m, sign, self.dtype)
+            self.host[key + "r"] = np.ascontiguousarray(np.repeat(re, 2, 1))
+            self.host[key + "i"] = np.ascontiguousarray(np.repeat(im, 2, 1))
+            self.host[key] = None
+        return key
+
+    def vmat_split(self, m: int, sign: int, g: int, scale: float) -> str:
+        """Split-output interleaved DFT tables (2m, m): right-multiplying a
+        lane-interleaved block (rows of 2m scalars) by Vr / Vi yields the
+        separate re / im planes of the m-point DFT in one real matmul each
+        (same flop count as the four-plane-matmul form, none of the
+        deinterleave transposes).  ``g`` > 1 applies the k2-fold column
+        permutation sigma (see dft_permuted); ``scale`` is folded in free."""
+        key = f"S{'f' if sign < 0 else 'b'}{m}_g{g}_{scale!r}"
+        if key not in self.host:
+            wr, wi = tw._dft_matrix_f64(m, sign)
+            if g > 1:
+                L = m // g
+                c = np.arange(m)
+                sigma = (c // L) + (c % L) * g
+                wr = wr[:, sigma]
+                wi = wi[:, sigma]
+            vr = np.empty((2 * m, m), np.float64)
+            vi = np.empty((2 * m, m), np.float64)
+            vr[0::2] = wr
+            vr[1::2] = -wi
+            vi[0::2] = wi
+            vi[1::2] = wr
+            if scale != 1.0:
+                vr *= scale
+                vi *= scale
+            self.host[key + "r"] = vr.astype(self.dtype)
+            self.host[key + "i"] = vi.astype(self.dtype)
+            self.host[key] = None
+        return key
+
+    def global3_btw(
+        self, ga: int, gb: int, n: int, t1: int, sign: int
+    ) -> str:
+        """Resident block-independent factors of the v3 engine's pass-1
+        global twiddle W_n^{k1·n2b} with k1 = k1_lo + ga·k1_hi:
+        ``1`` = B1[k1_lo, 2n2b+q] = W_n^{k1_lo·n2b} (ga, 2t1) pair-expanded,
+        ``2`` = B2[k1_hi, 2n2b+q] = W_{n/ga}^{k1_hi·n2b} (gb, 2t1).  The
+        per-block A factors (functions of the grid index) are computed
+        in-kernel (ops/pallas_global3._apply_global_twiddle)."""
+        key = f"G{'f' if sign < 0 else 'b'}{ga}x{gb}N{n}t{t1}"
+        if key not in self.host:
+            b1r, b1i = tw.twiddles_n(ga, t1, n, sign, np.float64)
+            b2r, b2i = tw.twiddles_n(gb, t1, n // ga, sign, np.float64)
+            for suf, arr in (
+                ("1r", b1r), ("1i", b1i), ("2r", b2r), ("2i", b2i)
+            ):
+                self.host[key + suf] = np.ascontiguousarray(
+                    np.repeat(arr, 2, 1)
+                ).astype(self.dtype)
+            self.host[key] = None
+        return key
+
     def vmat(self, n: int, sign: int, chunk: int, scale: float) -> str:
         """Interleaved block-diagonal DFT matrix (see
         twiddle.interleaved_dft_matrix) — used by the raw-I/O direct kernel."""
@@ -232,11 +298,19 @@ class TwiddleBank:
         return key
 
     def device_arrays(self, device=None) -> dict[str, Array]:
+        """Ship the bank to the device.  ``device`` (a ``jax.Device``) places
+        the arrays explicitly — ``commit(device=jax.devices()[1])`` keeps the
+        twiddle tables co-resident with the computation in multi-device
+        processes (the analogue of the reference allocating twiddle USM on
+        the commit queue's device, committed_descriptor_impl.hpp:737-752)."""
+        put = jnp.asarray
+        if device is not None and hasattr(device, "platform"):
+            put = functools.partial(jax.device_put, device=device)
         out = {}
         for k, v in self.host.items():
             if v is None:
                 continue
-            out[k] = jnp.asarray(v)
+            out[k] = put(v)
         return out
 
 

@@ -129,16 +129,22 @@ def _variants_for_entry(committed, entry) -> list[dict]:
 
         plan = committed.plans[n]
         a = plan.factors[0]
-        return [
-            {"bt": bt}
-            for bt in (1, 2, 4, 8, 16, 32)
-            if d.number_of_transforms % bt == 0
-            and (bt * a) % 128 == 0
+        out = []
+        for bt in (1, 2, 4, 8, 16, 32):
+            if d.number_of_transforms % bt:
+                continue
             # skip sure VMEM overruns (the kernel's own estimate)
-            and two_stage_vmem_bytes(a, bt) <= committed.config.vmem_bytes
-        ]
+            if two_stage_vmem_bytes(a, bt) > committed.config.vmem_bytes:
+                continue
+            if (bt * a) % 128 == 0:
+                out.append({"eng": 2, "bt": bt})
+            if (bt * a) % 8 == 0:
+                out.append({"eng": 3, "bt": bt})
+        return out
     if kind == "global2":
+        from .enums import Level
         from .ops.pallas_global import pass_est_bytes
+        from .ops import pallas_global3 as g3
 
         plan = committed.plans[n]
         g1p, g2p = plan.sub
@@ -152,7 +158,16 @@ def _variants_for_entry(committed, entry) -> list[dict]:
                     and pass_est_bytes(g1p, g1p.n, t1) <= vmem
                     and pass_est_bytes(g2p, g2p.n, t2) <= vmem
                 ):
-                    out.append({"t1": t1, "t2": t2})
+                    out.append({"eng": 2, "t1": t1, "t2": t2})
+        if g3.global3_supported(plan, committed.config):
+            fused1 = g1p.level != Level.DIRECT
+            for t1 in g3.T1_CANDIDATES:
+                if g2p.n % t1 or g3._p1_bytes(g1p.n, t1, fused1) > vmem:
+                    continue
+                for t2 in g3.T2_CANDIDATES:
+                    if g1p.n % t2 or g3._p2_bytes(g2p.n, t2) > vmem:
+                        continue
+                    out.append({"eng": 3, "t1": t1, "t2": t2})
         return out
     return []
 

@@ -122,7 +122,7 @@ def measure_session_ceiling() -> float:
     return best
 
 
-def bench_config(name, n, batch, hbm_gbps, ceiling_gbps=None):
+def bench_config(name, n, batch, hbm_gbps, ceiling_gbps=None, rotate=0):
     import jax
     import portfft_tpu as pfft
 
@@ -135,6 +135,16 @@ def bench_config(name, n, batch, hbm_gbps, ceiling_gbps=None):
     import jax.numpy as jnp
 
     xd = jnp.asarray(x)
+    # --rotate: cycle distinct input buffers between iterations, the
+    # reference's LLC-defeat protocol (bench_utils.hpp:39-64, ≤10 rotating
+    # buffers).  TPUs have no data cache in front of HBM, so this should
+    # not change the numbers — the flag exists to prove that claim on the
+    # attached chip rather than assert it.
+    inputs = [xd]
+    for i in range(1, rotate):
+        inputs.append(
+            jnp.asarray(rng.uniform(-1, 1, 2 * batch * n).astype(np.float32))
+        )
 
     # First run verifies against the oracle on a slice (reference
     # PORTFFT_VERIFY_BENCHMARKS, launch_bench.hpp:94-102).
@@ -152,8 +162,8 @@ def bench_config(name, n, batch, hbm_gbps, ceiling_gbps=None):
     for _ in range(SAMPLES):
         _sync(y)
         t0 = time.perf_counter()
-        for _ in range(RUNS_TO_AVERAGE):
-            y = plan.compute_forward(xd)
+        for it in range(RUNS_TO_AVERAGE):
+            y = plan.compute_forward(inputs[it % len(inputs)])
         _sync(y)
         times.append((time.perf_counter() - t0) / RUNS_TO_AVERAGE)
     t = min(times)
@@ -304,10 +314,12 @@ def main():
         ceiling = 0.0
         print(f"ceiling probe failed: {exc}", file=sys.stderr)
 
+    rotate = 4 if "--rotate" in sys.argv else 0
+
     gflops_list, eff_list = [], []
     for name, n, batch in CONFIGS:
         try:
-            g, e = bench_config(name, n, batch, cfg.hbm_gbps, ceiling)
+            g, e = bench_config(name, n, batch, cfg.hbm_gbps, ceiling, rotate)
         except Exception as exc:  # keep the bench line alive per-config
             print(f"  {name}: FAILED {exc}", file=sys.stderr)
             continue
@@ -316,7 +328,7 @@ def main():
     # north-star ladder top (not in the headline geomean — see docstring)
     for name, n, batch in LADDER_CONFIGS:
         try:
-            bench_config(name, n, batch, cfg.hbm_gbps, ceiling)
+            bench_config(name, n, batch, cfg.hbm_gbps, ceiling, rotate)
         except Exception as exc:
             print(f"  {name}: FAILED {exc}", file=sys.stderr)
 

@@ -139,7 +139,7 @@ class CommittedDescriptor:
                     if ln > 1 and not _df64mod.supported(ln):
                         raise UnsupportedConfiguration(
                             "emulated fp64 supports sizes whose prime "
-                            f"factors are <= 13; length {ln} is not"
+                            f"factors are <= 128; length {ln} is not"
                         )
                 self._df64 = True
             elif not jax.config.jax_enable_x64:
@@ -197,6 +197,24 @@ class CommittedDescriptor:
             for ln in set(descriptor.lengths[:-1]):
                 if 1 < ln <= 512:
                     self._bank_keys[("W", ln, sign)] = self._bank.dft(ln, sign)
+        # REAL domain, even last axis: the packed half-length transform
+        # (N/2-point complex FFT + untangle) replaces the zero-imaginary
+        # full C2C — half the transform work (classic rfft packing; the
+        # reference throws for REAL, committed_descriptor.hpp:134-137).
+        from .enums import Domain as _Dom
+
+        nlast = descriptor.lengths[-1]
+        if _Dom(descriptor.domain) == _Dom.REAL and nlast % 2 == 0 and nlast >= 4:
+            h = nlast // 2
+            if h not in self.plans:
+                self.plans[h] = plan_1d(h, self.config, itemsize)
+            for sign in (-1, +1):
+                xla_fft.collect_bank_keys(
+                    self.plans[h], sign, self._bank, self._bank_keys
+                )
+                self._bank_keys[("R", nlast, sign)] = (
+                    self._bank.rfft_untangle(nlast, sign)
+                )
         # Raw fast paths: 1D PACKED interleaved fp32 transforms bypass the
         # generic gather/compute/scatter with single-buffer kernels
         # (fastpath.py).
@@ -538,19 +556,43 @@ class CommittedDescriptor:
         leaf = self._leaf_fn(Direction.FORWARD)
         n = d.lengths[-1]
         h = n // 2
-        # last axis: full C2C with zero imaginary, keep bins 0..h
-        xr, xi = xla_fft.exec_plan(
-            x,
-            jnp.zeros_like(x),
-            self.plans[n],
-            sign,
-            self._bank_keys,
-            bank,
-            leaf,
-            self.matmul_precision,
-        )
-        xr = xr[..., : h + 1]
-        xi = xi[..., : h + 1]
+        if ("R", n, sign) in self._bank_keys:
+            # packed half-length: FFT_{n/2} of z = x_even + i·x_odd, then
+            # untangle X[k] = E[k] + W^k·O[k] (k ≤ h, W = e^{-2πi/n})
+            zr, zi = xla_fft.exec_plan(
+                x[..., 0::2], x[..., 1::2], self.plans[h], sign,
+                self._bank_keys, bank, leaf, self.matmul_precision,
+            )
+            rr = jnp.roll(jnp.flip(zr, -1), 1, -1)  # Z[(h-k) mod h]
+            ri = jnp.roll(jnp.flip(zi, -1), 1, -1)
+            er = 0.5 * (zr + rr)
+            ei = 0.5 * (zi - ri)
+            our = 0.5 * (zi + ri)
+            oui = -0.5 * (zr - rr)
+            rkey = self._bank_keys[("R", n, sign)]
+            tr, ti = xla_fft.complex_mul(
+                our, oui, bank[rkey + "r"], bank[rkey + "i"]
+            )
+            xr = jnp.concatenate(
+                [er + tr, zr[..., :1] - zi[..., :1]], axis=-1
+            )
+            xi = jnp.concatenate(
+                [ei + ti, jnp.zeros_like(zi[..., :1])], axis=-1
+            )
+        else:
+            # odd n: full C2C with zero imaginary, keep bins 0..h
+            xr, xi = xla_fft.exec_plan(
+                x,
+                jnp.zeros_like(x),
+                self.plans[n],
+                sign,
+                self._bank_keys,
+                bank,
+                leaf,
+                self.matmul_precision,
+            )
+            xr = xr[..., : h + 1]
+            xi = xi[..., : h + 1]
         # remaining axes: plain C2C on the half spectrum
         ndims = len(d.lengths)
         for axis in range(ndims - 2, -1, -1):
@@ -592,15 +634,37 @@ class CommittedDescriptor:
             )
             xr = jnp.moveaxis(xr, -1, 1 + axis)
             xi = jnp.moveaxis(xi, -1, 1 + axis)
-        # Hermitian extension of the last axis: X[n-k] = conj(X[k])
-        tail_r = jnp.flip(xr[..., 1:h], axis=-1)
-        tail_i = -jnp.flip(xi[..., 1:h], axis=-1)
-        fr = jnp.concatenate([xr, tail_r], axis=-1)
-        fi = jnp.concatenate([xi, tail_i], axis=-1)
-        fr, fi = xla_fft.exec_plan(
-            fr, fi, self.plans[n], sign, self._bank_keys, bank, leaf,
-            self.matmul_precision,
-        )
+        if ("R", n, sign) in self._bank_keys:
+            # packed half-length inverse: retangle Z = 2E + 2i·O (the
+            # factor 2 absorbs the length ratio n/h of the unnormalized
+            # inverse), IDFT_{n/2}, interleave re/im as even/odd samples
+            rev_r = jnp.flip(xr[..., 1 : h + 1], axis=-1)  # X[h-k], k<h
+            rev_i = jnp.flip(xi[..., 1 : h + 1], axis=-1)
+            e2r = xr[..., :h] + rev_r
+            e2i = xi[..., :h] - rev_i
+            n2r = xr[..., :h] - rev_r
+            n2i = xi[..., :h] + rev_i
+            rkey = self._bank_keys[("R", n, sign)]  # W^{+k} (sign=+1)
+            o2r, o2i = xla_fft.complex_mul(
+                n2r, n2i, bank[rkey + "r"], bank[rkey + "i"]
+            )
+            zr = e2r - o2i
+            zi = e2i + o2r
+            zr, zi = xla_fft.exec_plan(
+                zr, zi, self.plans[h], sign, self._bank_keys, bank, leaf,
+                self.matmul_precision,
+            )
+            fr = jnp.stack([zr, zi], axis=-1).reshape(*zr.shape[:-1], n)
+        else:
+            # Hermitian extension of the last axis: X[n-k] = conj(X[k])
+            tail_r = jnp.flip(xr[..., 1:h], axis=-1)
+            tail_i = -jnp.flip(xi[..., 1:h], axis=-1)
+            fr = jnp.concatenate([xr, tail_r], axis=-1)
+            fi = jnp.concatenate([xi, tail_i], axis=-1)
+            fr, fi = xla_fft.exec_plan(
+                fr, fi, self.plans[n], sign, self._bank_keys, bank, leaf,
+                self.matmul_precision,
+            )
         scale = d.backward_scale
         if scale != 1.0:
             fr = fr * np.array(scale, dtype=self.precision)
@@ -849,6 +913,46 @@ class CommittedDescriptor:
 
         return fn
 
+    def _df64_canonicalize(self, re, im, direction):
+        """Host-side canonicalization of the f64 planes to (batch,
+        *lengths) without materialized index arrays: PACKED and
+        BATCH_INTERLEAVED are views/reshapes, regular 1D strides are a
+        strided numpy view, only irregular layouts fall back to the index
+        walk.  (The hi/lo f32 split must stay host-side — f64 values
+        cannot cross the TPU device boundary — but everything after it is
+        the jitted df64 core.)"""
+        d = self.descriptor
+        lengths = d.domain_lengths(direction)
+        layout = get_layout(d, direction)
+        batch = d.number_of_transforms
+        n = math.prod(lengths)
+        offset = d.get_offset(direction)
+        if layout == Layout.PACKED:
+            blk = re[offset : offset + batch * n]
+            return (
+                blk.reshape(batch, *lengths),
+                im[offset : offset + batch * n].reshape(batch, *lengths),
+            )
+        if layout == Layout.BATCH_INTERLEAVED:
+            s = (slice(offset, offset + batch * n),)
+            return (
+                re[s].reshape(n, batch).T.reshape(batch, *lengths),
+                im[s].reshape(n, batch).T.reshape(batch, *lengths),
+            )
+        reg = self._regular_1d(direction)
+        if reg is not None:
+            o, st, dist, n1, b = reg
+            out_r = np.empty((b, n1), re.dtype)
+            out_i = np.empty((b, n1), re.dtype)
+            for bi in range(b):  # numpy strided views, no index arrays
+                base = o + bi * dist
+                sl = slice(base, base + (n1 - 1) * st + 1, st)
+                out_r[bi] = re[sl]
+                out_i[bi] = im[sl]
+            return out_r, out_i
+        idx = self._indices(direction)
+        return re[idx], im[idx]
+
     def _compute_df64(self, direction, x, x_imag, out, out_imag):
         """Out-of-core host canonicalization around the jitted df64 core:
         gather/scatter and hi/lo splitting run in numpy (this path is
@@ -886,9 +990,7 @@ class CommittedDescriptor:
             raise InvalidConfiguration(
                 f"input buffer needs {need_in} complex elements"
             )
-        idx_in = self._indices(direction)
-        xr = re[idx_in]
-        xi = im[idx_in]
+        xr, xi = self._df64_canonicalize(re, im, direction)
         rh, rl = _df64mod.split_f64(xr)
         ih, il = _df64mod.split_f64(xi)
 

@@ -369,11 +369,13 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
 
             return fn
 
+        ftw = bool(overrides.get("ftw"))
+
         def fn(raw, bank):
             res = pallas_global.global2_raw_call(
                 raw, batch, plan0, sign, keys, bank, committed.config,
                 committed.matmul_precision, scale,
-                t1 if eng == 2 else 0, t2 if eng == 2 else 0,
+                t1 if eng == 2 else 0, t2 if eng == 2 else 0, use_ftw=ftw,
             )
             if res is None:  # no viable pass tiling for this shape
                 raise RawFastUnavailable()
@@ -387,11 +389,12 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
     plan0 = committed.plans[d.lengths[0]]
     batch = d.number_of_transforms
     bt = overrides.get("bt")
-    # engine selection mirrors "global2": tuned entries without "eng"
-    # predate the interleaved v3 kernel and were measured on v2.
-    eng = overrides.get("eng", 3)
-    if "bt" in overrides and "eng" not in overrides:
-        eng = 2
+    # engine default: v2.  Measured (v5e, 2026-08-17, ceiling 201 GB/s):
+    # v3's lane rolls cost as much XPOSE time as the deinterleave
+    # transposes they replace — v3 wins only at small a (N=1024: 102 vs
+    # 97 GB/s) and loses at large a (N=32768: 88 vs 129).  The autotuner
+    # measures both and records the per-shape winner.
+    eng = overrides.get("eng", 2)
     if bt and batch % bt:
         bt = None  # stale tuning (different batch): let the kernel pick
     if bt and eng == 2 and (bt * plan0.factors[0]) % 128:

@@ -183,27 +183,51 @@ def df64_tables(n: int, sign: int):
 def _dft_factor(x, f: int, bank, prefix: str):
     """Naive f-point DFT along axis -2 of ((rh, rl), (ih, il)) with shape
     (..., f, m).  Vectorized over the output index k: one df64
-    multiply-accumulate per input row j (f iterations of ~60 broadcast VPU
-    ops), so the unrolled program is O(f), not O(f²) — which keeps compile
-    tractable up to the f ≤ 128 naive-prime stages."""
+    multiply-accumulate per input row j.
+
+    The j loop unrolls on TPU and for small radices everywhere (full
+    ~2^-48 df64 precision).  On CPU, naive-prime stages (13 < f ≤ 128)
+    run as ``fori_loop``: the unrolled f·60-op graph compiles
+    pathologically slowly there (minutes at f=31 under multi-device
+    configs), and XLA:CPU's while-loop codegen perturbs the error-free
+    transformations — measured ~2·10⁻⁸ relative instead of ~5·10⁻¹⁵
+    (still well beyond fp32, but short of full df64; the TPU path — the
+    one that matters — keeps full precision)."""
+    import jax
+
     (rh, rl), (ih, il) = x
     wrh = bank[prefix + "wrh"]
     wrl = bank[prefix + "wrl"]
     wih = bank[prefix + "wih"]
     wil = bank[prefix + "wil"]
-    acc_r = acc_i = None
-    for j in range(f):
-        xr = (rh[..., j : j + 1, :], rl[..., j : j + 1, :])  # (..., 1, m)
-        xi = (ih[..., j : j + 1, :], il[..., j : j + 1, :])
-        w_r = (wrh[j][:, None], wrl[j][:, None])  # (f, 1) -> k on axis -2
-        w_i = (wih[j][:, None], wil[j][:, None])
+
+    def step(j, acc):
+        def row(a):
+            return jax.lax.dynamic_slice_in_dim(a, j, 1, axis=a.ndim - 2)
+
+        xr = (row(rh), row(rl))  # (..., 1, m)
+        xi = (row(ih), row(il))
+
+        def wcol(w):
+            return jax.lax.dynamic_slice_in_dim(w, j, 1, axis=0)[0][:, None]
+
+        w_r = (wcol(wrh), wcol(wrl))  # (f, 1) -> k on axis -2
+        w_i = (wcol(wih), wcol(wil))
         pr, pi = cmul(xr, xi, w_r, w_i)  # broadcast -> (..., f, m)
-        if acc_r is None:
-            acc_r, acc_i = pr, pi
-        else:
-            acc_r = add(*acc_r, *pr)
-            acc_i = add(*acc_i, *pi)
-    return acc_r, acc_i
+        if acc is None:
+            return pr, pi
+        acc_r, acc_i = acc
+        return add(*acc_r, *pr), add(*acc_i, *pi)
+
+    if f <= 13 or jax.default_backend() == "tpu":
+        acc = None
+        for j in range(f):
+            acc = step(j, acc)
+        return acc
+    shape = rh.shape
+    zero = jnp.zeros(shape, rh.dtype)
+    init = ((zero, zero), (zero, zero))
+    return jax.lax.fori_loop(0, f, step, init)
 
 
 def exec_chain(x, chain, bank, stage: int = 0):

@@ -762,12 +762,16 @@ def fused2_raw_v3_call(
 
 
 def leaf_dispatch(
-    xr, xi, plan, sign, bank, *, bank_keys, config, precision=None
+    xr, xi, plan, sign, bank, *, bank_keys, config, precision=None,
+    post=None,
 ):
     """Executor hook: run DIRECT/FUSED leaves as Pallas kernels.
 
     Returns None to fall back to the XLA chain (fp64, or factor shapes
-    without a Mosaic-safe kernel)."""
+    without a Mosaic-safe kernel).  ``post`` (GLOBAL only): (re, im)
+    [k1, k2] tables complex-multiplied inside the engine's pass 2 — used
+    by the Bluestein executor to fold its per-element spectra into the
+    convolution passes."""
     if xr.dtype != jnp.float32:
         return None
     if plan.level == Level.GLOBAL:
@@ -775,8 +779,11 @@ def leaf_dispatch(
 
         if pallas_global.global2_supported(plan, config.direct_threshold):
             return pallas_global.global2_call(
-                xr, xi, plan, sign, bank_keys, bank, config, precision
+                xr, xi, plan, sign, bank_keys, bank, config, precision,
+                post=post,
             )
+        return None
+    if post is not None:
         return None
     if plan.level not in (Level.DIRECT, Level.FUSED):
         return None

@@ -156,6 +156,43 @@ def _lane_dft(xr, xi, sub: Plan1D, tabs, prec, fold, gtw=None):
     return unfold(mr), unfold(mi)
 
 
+def _factored_ztw(tws, ti_ix):
+    """Per-block Z twiddle slices from the resident factored tables
+    (TwiddleBank.global_fused_twiddles_factored): complex product of the
+    n2b parts (t1, 128) with the dynamically-row-sliced m2 parts."""
+    b1r, b1i, b2r, b2i, a1r, a1i, a2r, a2i = tws
+    r1r = a1r[pl.ds(ti_ix, 1), :]  # (1, 128)
+    r1i = a1i[pl.ds(ti_ix, 1), :]
+    r2r = a2r[pl.ds(ti_ix, 1), :]
+    r2i = a2i[pl.ds(ti_ix, 1), :]
+    c1r, c1i = xla_fft.complex_mul(b1r[...], b1i[...], r1r, r1i)
+    c2r, c2i = xla_fft.complex_mul(b2r[...], b2i[...], r2r, r2i)
+    return (c1r, c1i, c2r, c2i)
+
+
+def _apply_factored_q(ar, ai, tws, ti_ix, t1: int, gb: int):
+    """Apply the factored-resident pass-1 twiddle (TwiddleBank.btw_planes)
+    to (t1, g1) planes: two broadcast complex multiplies over the
+    (t1, gb, 128) lane-split view — replaces the dense streamed slices."""
+    b1r, b1i, b2r, b2i, a1r, a1i, a2r, a2i = tws
+    r1r = a1r[pl.ds(ti_ix, 1), :]  # (1, 128)
+    r1i = a1i[pl.ds(ti_ix, 1), :]
+    r2r = a2r[pl.ds(ti_ix, 1), :]  # (1, gb)
+    r2i = a2i[pl.ds(ti_ix, 1), :]
+    c1r, c1i = xla_fft.complex_mul(b1r[...], b1i[...], r1r, r1i)
+    c2r, c2i = xla_fft.complex_mul(b2r[...], b2i[...], r2r, r2i)
+    g1 = gb * 128
+    a3r = ar.reshape(t1, gb, 128)
+    a3i = ai.reshape(t1, gb, 128)
+    a3r, a3i = xla_fft.complex_mul(
+        a3r, a3i, c1r.reshape(t1, 1, 128), c1i.reshape(t1, 1, 128)
+    )
+    a3r, a3i = xla_fft.complex_mul(
+        a3r, a3i, c2r.reshape(t1, gb, 1), c2i.reshape(t1, gb, 1)
+    )
+    return a3r.reshape(t1, g1), a3i.reshape(t1, g1)
+
+
 def _pick_tile(g_other: int, sub_lane: Plan1D, n_lane: int, vmem: int,
                cap: int, step: int) -> int:
     """Tile width over the non-transform axis: the largest multiple of
@@ -196,9 +233,17 @@ def _const(t):
 
 def global2_call(
     xr, xi, plan: Plan1D, sign: int, bank_keys, bank, config, precision=None,
-    scale: float = 1.0,
+    scale: float = 1.0, post: tuple | None = None, use_ftw: bool = False,
 ):
-    """Planes (..., n) -> planes (..., n), two Pallas passes."""
+    """Planes (..., n) -> planes (..., n), two Pallas passes.
+
+    ``post``: optional (re, im) arrays of shape (g1, g2) = [k1, k2] applied
+    as an elementwise complex multiply inside pass 2 — the Bluestein
+    convolution folds its b̂ spectrum / final chirp here, replacing a full
+    read+write pass over the data.  With the post tables the pass-2 grid
+    iterates batch INNERMOST so each (t2, g2) table block is fetched once,
+    not once per batch row.
+    """
     n = plan.n
     g1p, g2p = plan.sub
     g1, g2 = g1p.n, g2p.n
@@ -223,13 +268,30 @@ def global2_call(
     out1 = pl.BlockSpec(
         (1, t1, g1), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
     )
-    if fused1:
+    qkey = zqkey = None
+    if use_ftw and not fused1:
+        qkey = bank_keys.get(("Q", g1, n, sign, t1))
+    elif use_ftw:
+        zqkey = bank_keys.get(("ZQ", g1, g2, sign, t1))
+    if fused1 and zqkey is not None:
+        tw_arrays = [
+            bank[zqkey + s]
+            for s in ("1r", "1i", "2r", "2i", "3r", "3i", "4r", "4i")
+        ]
+        tw_specs = [_const(t) for t in tw_arrays]
+    elif fused1:
         zkey = bank_keys[("Z", g1, g2, sign)]
         tw_arrays = [bank[zkey + s] for s in ("1r", "1i", "2r", "2i")]
         zspec = pl.BlockSpec(
             (t1, 128), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
         )
         tw_specs = [zspec] * 4
+    elif qkey is not None:
+        tw_arrays = [
+            bank[qkey + s]
+            for s in ("1r", "1i", "2r", "2i", "3r", "3i", "4r", "4i")
+        ]
+        tw_specs = [_const(t) for t in tw_arrays]
     else:
         tw = bank_keys[("T", g1, g2, sign)]
         tw_arrays = [bank[tw + "r"], bank[tw + "i"]]
@@ -239,6 +301,7 @@ def global2_call(
         tw_specs = [tw_spec, tw_spec]
     nt1 = len(names1)
     ntw = len(tw_arrays)
+    gb1 = g1 // 128
 
     def p1(xr_ref, xi_ref, *rest):
         tabs = rest[:nt1]
@@ -246,9 +309,18 @@ def global2_call(
         or_ref, oi_ref = rest[nt1 + ntw], rest[nt1 + ntw + 1]
         fold = rest[nt1 + ntw + 2 :]
         if fused1:
+            if zqkey is not None:
+                gtw_vals = _factored_ztw(tws, pl.program_id(1))
+            else:
+                gtw_vals = tws
             ar, ai = _lane_dft(
-                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold, gtw=tws
+                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold, gtw=gtw_vals
             )
+        elif qkey is not None:
+            ar, ai = _lane_dft(
+                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold
+            )
+            ar, ai = _apply_factored_q(ar, ai, tws, pl.program_id(1), t1, gb1)
         else:
             ar, ai = _lane_dft(
                 xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold
@@ -274,21 +346,45 @@ def global2_call(
         ),
         interpret=jax.default_backend() != "tpu",
     )(x3r, x3i, *[bank[nm] for nm in names1], *tw_arrays)
-    in2 = pl.BlockSpec(
-        (1, g2, t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
-    )
-    out2 = pl.BlockSpec(
-        (1, g2, t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
-    )
+    if post is None:
+        in2 = pl.BlockSpec(
+            (1, g2, t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
+        )
+        out2 = pl.BlockSpec(
+            (1, g2, t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
+        )
+        grid2 = (b, g1 // t2)
+        post_in, post_specs = [], []
+    else:
+        # batch innermost: the post-table block index is constant across
+        # the inner sweep, so Pallas fetches each (t2, g2) slice once
+        in2 = pl.BlockSpec(
+            (1, g2, t2), lambda ji, bi: (bi, 0, ji), memory_space=pltpu.VMEM
+        )
+        out2 = pl.BlockSpec(
+            (1, g2, t2), lambda ji, bi: (bi, 0, ji), memory_space=pltpu.VMEM
+        )
+        grid2 = (g1 // t2, b)
+        pspec = pl.BlockSpec(
+            (t2, g2), lambda ji, bi: (ji, 0), memory_space=pltpu.VMEM
+        )
+        post_in = [post[0], post[1]]
+        post_specs = [pspec, pspec]
     nt2 = len(names2)
+    npost = len(post_in)
 
     def p2(xr_ref, xi_ref, *rest):
         tabs = rest[:nt2]
-        or_ref, oi_ref = rest[nt2], rest[nt2 + 1]
-        fold = rest[nt2 + 2 :]
+        ptabs = rest[nt2 : nt2 + npost]
+        or_ref, oi_ref = rest[nt2 + npost], rest[nt2 + npost + 1]
+        fold = rest[nt2 + npost + 2 :]
         cr, ci = _lane_dft(
             xr_ref[0].T, xi_ref[0].T, g2p, tabs, prec, fold
         )  # (t2, g2) = [k1-slice, k2]
+        if npost:
+            cr, ci = xla_fft.complex_mul(
+                cr, ci, ptabs[0][...], ptabs[1][...]
+            )
         if scale != 1.0:
             cr = cr * scale
             ci = ci * scale
@@ -297,8 +393,9 @@ def global2_call(
 
     yr, yi = pl.pallas_call(
         p2,
-        grid=(b, g1 // t2),
-        in_specs=[in2, in2] + [_const(bank[nm]) for nm in names2],
+        grid=grid2,
+        in_specs=[in2, in2] + [_const(bank[nm]) for nm in names2]
+        + post_specs,
         out_specs=[out2, out2],
         out_shape=[jax.ShapeDtypeStruct((b, g2, g1), xr.dtype)] * 2,
         scratch_shapes=_fold_scratches(g2p, t2, xr.dtype),
@@ -308,7 +405,7 @@ def global2_call(
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(sr, si, *[bank[nm] for nm in names2])
+    )(sr, si, *[bank[nm] for nm in names2], *post_in)
 
     # (b, g2, g1) row-major flat = k1 + g1·k2 = the transform index: free.
     return yr.reshape(*lead, n), yi.reshape(*lead, n)
@@ -472,7 +569,7 @@ def global2_raw_supported(plan: Plan1D, max_direct: int = 256) -> bool:
 def global2_raw_call(
     raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
     precision=None, scale: float = 1.0, t1_override: int = 0,
-    t2_override: int = 0,
+    t2_override: int = 0, use_ftw: bool = False,
 ):
     """PACKED interleaved raw (2·batch·n,) -> transformed raw, two passes.
 
@@ -509,13 +606,41 @@ def global2_raw_call(
     out1 = pl.BlockSpec(
         (1, t1, g1), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
     )
-    if fused1:
+    qkey = zqkey = None
+    # opt-in (tuning override "ftw"): the factored-resident twiddles
+    # measured SLOWER than the dense streamed slices on v5e (direct G1:
+    # 87 vs 106 GB/s at N=65536; fused G1: 60.5 vs 62.2 at 2^20) — the
+    # engine is VPU-bound, the dense stream overlaps with compute, and
+    # the replacement broadcast views waste sublanes at small gb.  Kept
+    # as an autotuner variant for bandwidth-starved devices.
+    if use_ftw and not fused1:
+        qkey = bank_keys.get(("Q", g1, n, sign, t1))
+    elif use_ftw:
+        zqkey = bank_keys.get(("ZQ", g1, g2, sign, t1))
+    if fused1 and zqkey is not None:
+        # factored resident Z tables (global_fused_twiddles_factored):
+        # nothing streamed per block
+        tw_arrays = [
+            bank[zqkey + s]
+            for s in ("1r", "1i", "2r", "2i", "3r", "3i", "4r", "4i")
+        ]
+        tw_specs = [_const(t) for t in tw_arrays]
+    elif fused1:
         zkey = bank_keys[("Z", g1, g2, sign)]
         tw_arrays = [bank[zkey + s] for s in ("1r", "1i", "2r", "2i")]
         zspec = pl.BlockSpec(
             (t1, 128), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
         )
         tw_specs = [zspec] * 4
+    elif qkey is not None:
+        # factored resident twiddle (TwiddleBank.btw_planes): nothing is
+        # streamed per block — the dense (t1, g1) twiddle slices were one
+        # third of pass-1 HBM traffic
+        tw_arrays = [
+            bank[qkey + s]
+            for s in ("1r", "1i", "2r", "2i", "3r", "3i", "4r", "4i")
+        ]
+        tw_specs = [_const(t) for t in tw_arrays]
     else:
         tw = bank_keys[("T", g1, g2, sign)]
         tw_arrays = [bank[tw + "r"], bank[tw + "i"]]
@@ -525,6 +650,7 @@ def global2_raw_call(
         tw_specs = [tw_spec, tw_spec]
     nt1 = len(names1)
     ntw = len(tw_arrays)
+    gb = g1 // 128
 
     def p1(x_ref, *rest):
         tabs = rest[:nt1]
@@ -540,9 +666,16 @@ def global2_raw_call(
             pr[:, sl] = s3[0::2, :]  # (t1, 128) = [n2, n1-slice]
             pi[:, sl] = s3[1::2, :]
         if fused1:
+            if zqkey is not None:
+                gtw_vals = _factored_ztw(tws, pl.program_id(1))
+            else:
+                gtw_vals = tws
             ar, ai = _lane_dft(
-                pr[...], pi[...], g1p, tabs, prec, fold, gtw=tws
+                pr[...], pi[...], g1p, tabs, prec, fold, gtw=gtw_vals
             )
+        elif qkey is not None:
+            ar, ai = _lane_dft(pr[...], pi[...], g1p, tabs, prec, fold)
+            ar, ai = _apply_factored_q(ar, ai, tws, pl.program_id(1), t1, gb)
         else:
             ar, ai = _lane_dft(pr[...], pi[...], g1p, tabs, prec, fold)
             ar, ai = xla_fft.complex_mul(ar, ai, tws[0][...], tws[1][...])

@@ -143,7 +143,9 @@ class TwiddleBank:
         return key
 
     def chirp(self, n: int, conv_n: int, sign: int) -> str:
-        """Bluestein chirp c and the DFT of the padded mirrored chirp b."""
+        """Bluestein chirp c and the DFT of the padded mirrored chirp b.
+        The backward convolution's 1/conv_n normalization is folded into
+        the b table (one fewer elementwise pass at execute time)."""
         key = f"B{'f' if sign < 0 else 'b'}{n}_{conv_n}"
         if key not in self.host:
             cr, ci = tw.bluestein_chirp(n, sign, np.float64)
@@ -151,11 +153,41 @@ class TwiddleBank:
             b = np.zeros(conv_n, dtype=np.complex128)
             b[:n] = np.conj(c)
             b[conv_n - n + 1 :] = np.conj(c)[1:][::-1]
-            bf = np.fft.fft(b)
+            bf = np.fft.fft(b) * (1.0 / conv_n)
             self.host[key + "cr"] = cr.astype(self.dtype)
             self.host[key + "ci"] = ci.astype(self.dtype)
             self.host[key + "br"] = bf.real.astype(self.dtype)
             self.host[key + "bi"] = bf.imag.astype(self.dtype)
+            self.host[key] = None
+        return key
+
+    def bluestein_post(
+        self, n: int, conv_n: int, g1: int, g2: int, sign: int
+    ) -> str:
+        """Pass-2 post-multiply tables for a GLOBAL Bluestein convolution:
+        ``f`` = b̂ (the chirp spectrum, 1/conv_n folded) and ``g`` = the
+        final chirp zero-extended past n, both arranged [k1, k2] (g1, g2)
+        to match the engine's pass-2 block orientation.  Folding these
+        into the convolution passes deletes two full read+write sweeps of
+        the conv-sized data per transform."""
+        key = f"O{'f' if sign < 0 else 'b'}{n}_{g1}x{g2}"
+        if key not in self.host:
+            cr, ci = tw.bluestein_chirp(n, sign, np.float64)
+            c = cr + 1j * ci
+            b = np.zeros(conv_n, dtype=np.complex128)
+            b[:n] = np.conj(c)
+            b[conv_n - n + 1 :] = np.conj(c)[1:][::-1]
+            bf = np.fft.fft(b) * (1.0 / conv_n)
+            cz = np.zeros(conv_n, dtype=np.complex128)
+            cz[:n] = c
+            for suf, arr in (("f", bf), ("g", cz)):
+                m = arr.reshape(g2, g1).T  # [k1, k2]
+                self.host[key + suf + "r"] = np.ascontiguousarray(
+                    m.real
+                ).astype(self.dtype)
+                self.host[key + suf + "i"] = np.ascontiguousarray(
+                    m.imag
+                ).astype(self.dtype)
             self.host[key] = None
         return key
 
@@ -264,6 +296,57 @@ class TwiddleBank:
             self.host[key] = None
         return key
 
+    def btw_planes(self, g1: int, g2: int, n: int, t1: int, sign: int) -> str:
+        """Resident factored pass-1 twiddle for the raw two-pass engine
+        (direct G1, 128 | G1): W_n^{k1·n2} with k1 = k1_lo + 128·k1_hi and
+        n2 = m2 + n2b (m2 = block offset ti·t1) splits into four small
+        tables — the block-independent ``B`` pair and the per-block ``A``
+        pair indexed by ti:
+
+          B1[n2b, k1_lo] = W_n^{n2b·k1_lo}            (t1, 128)
+          B2[n2b, k1_hi] = W_{n/128}^{n2b·k1_hi}      (t1, gb)
+          A1[ti, k1_lo]  = W_n^{ti·t1·k1_lo}          (g2/t1, 128)
+          A2[ti, k1_hi]  = W_{n/128}^{ti·t1·k1_hi}    (g2/t1, gb)
+
+        This replaces the dense streamed (t1, g1) twiddle blocks — one
+        third of pass-1 traffic — with ~100 KB of resident tables."""
+        gb = g1 // 128
+        key = f"Q{'f' if sign < 0 else 'b'}{g1}N{n}t{t1}"
+        if key not in self.host:
+            nt = g2 // t1
+            for suf, (f, m, root) in (
+                ("1", (t1, 128, n)),
+                ("2", (t1, gb, n // 128)),
+            ):
+                re, im = tw.twiddles_n(f, m, root, sign, np.float64)
+                self.host[key + suf + "r"] = re.astype(self.dtype)
+                self.host[key + suf + "i"] = im.astype(self.dtype)
+            j = (np.arange(nt, dtype=np.float64) * t1)[:, None]
+            for suf, (m, root) in (("3", (128, n)), ("4", (gb, n // 128))):
+                k = np.arange(m, dtype=np.float64)[None, :]
+                theta = (2.0 * np.pi / root) * np.mod(j * k, root)
+                self.host[key + suf + "r"] = np.cos(theta).astype(self.dtype)
+                self.host[key + suf + "i"] = (
+                    np.float64(sign) * np.sin(theta)
+                ).astype(self.dtype)
+            self.host[key] = None
+        return key
+
+    def rfft_untangle(self, n: int, sign: int) -> str:
+        """Post-twiddle W^k = exp(sign·2πi·k/n), k < n/2, for the packed
+        half-length real transform (forward untangle / backward retangle)."""
+        key = f"R{'f' if sign < 0 else 'b'}{n}"
+        if key not in self.host:
+            h = n // 2
+            k = np.arange(h, dtype=np.float64)
+            theta = (2.0 * np.pi / n) * k
+            self.host[key + "r"] = np.cos(theta).astype(self.dtype)
+            self.host[key + "i"] = (
+                np.float64(sign) * np.sin(theta)
+            ).astype(self.dtype)
+            self.host[key] = None
+        return key
+
     def global3_btw(
         self, ga: int, gb: int, n: int, t1: int, sign: int
     ) -> str:
@@ -282,6 +365,38 @@ class TwiddleBank:
             ):
                 self.host[key + suf] = np.ascontiguousarray(
                     np.repeat(arr, 2, 1)
+                ).astype(self.dtype)
+            self.host[key] = None
+        return key
+
+    def global_fused_twiddles_factored(
+        self, a: int, g2: int, n: int, t1: int, sign: int
+    ) -> str:
+        """Resident factorization of the fused-G1 Z tables over
+        n2 = m2 + n2b: ``1``/``2`` = the block-independent n2b parts of
+        z1/z2 (t1, 128), ``3``/``4`` = the per-block m2 parts indexed by
+        ti (g2/t1, 128).  Replaces the four streamed (t1, 128) Z slices
+        (~25% of pass-1 input traffic at G1=1024) with ~200 KB resident."""
+        g = 128 // a
+        key = f"Y{'f' if sign < 0 else 'b'}{a}x{g2}N{n}t{t1}"
+        if key not in self.host:
+            q = np.arange(128, dtype=np.float64)
+            e1 = np.mod(q, a)  # z1 column exponent: (q mod a)
+            c = np.arange(128)
+            sigma = ((c % a) * g + (c // a)).astype(np.float64)
+            nt = g2 // t1
+            for suf, (rows, cols, root) in (
+                ("1", (np.arange(t1, dtype=np.float64), e1, n)),
+                ("2", (np.arange(t1, dtype=np.float64), sigma, n // a)),
+                ("3", (np.arange(nt, dtype=np.float64) * t1, e1, n)),
+                ("4", (np.arange(nt, dtype=np.float64) * t1, sigma, n // a)),
+            ):
+                theta = (2.0 * np.pi / root) * np.mod(
+                    rows[:, None] * cols[None, :], root
+                )
+                self.host[key + suf + "r"] = np.cos(theta).astype(self.dtype)
+                self.host[key + suf + "i"] = (
+                    np.float64(sign) * np.sin(theta)
                 ).astype(self.dtype)
             self.host[key] = None
         return key
@@ -426,6 +541,14 @@ def collect_bank_keys(
     elif plan.level == Level.GLOBAL:
         g1, g2 = plan.sub
         keys[("T", g1.n, g2.n, sign)] = bank.twiddle(g1.n, g2.n, sign)
+        if g1.level == Level.DIRECT and g1.n % 128 == 0:
+            # factored resident pass-1 twiddle for the raw engine, one set
+            # per candidate lane tile (tables are ~100 KB each)
+            for t1c in (64, 128, 256):
+                if g2.n % t1c == 0:
+                    keys[("Q", g1.n, plan.n, sign, t1c)] = bank.btw_planes(
+                        g1.n, g2.n, plan.n, t1c, sign
+                    )
         f1 = g1.factors
         if (
             g1.level == Level.FUSED
@@ -436,11 +559,23 @@ def collect_bank_keys(
             keys[("Z", g1.n, g2.n, sign)] = bank.global_fused_twiddles(
                 f1[0], g2.n, plan.n, sign
             )
+            for t1c in (64, 128, 256):
+                if g2.n % t1c == 0:
+                    keys[("ZQ", g1.n, g2.n, sign, t1c)] = (
+                        bank.global_fused_twiddles_factored(
+                            f1[0], g2.n, plan.n, t1c, sign
+                        )
+                    )
         collect_bank_keys(g1, sign, bank, keys)
         collect_bank_keys(g2, sign, bank, keys)
     elif plan.level == Level.BLUESTEIN:
         conv_n = plan.conv.n
         keys[("B", plan.n, sign)] = bank.chirp(plan.n, conv_n, sign)
+        if plan.conv.level == Level.GLOBAL:
+            g1c, g2c = plan.conv.sub
+            keys[("BPOST", plan.n, sign)] = bank.bluestein_post(
+                plan.n, conv_n, g1c.n, g2c.n, sign
+            )
         collect_bank_keys(plan.conv, -1, bank, keys)
         collect_bank_keys(plan.conv, +1, bank, keys)
     return keys
@@ -523,6 +658,31 @@ def _exec_bluestein(
     pad = [(0, 0)] * (ar.ndim - 1) + [(0, conv_n - n)]
     ar = jnp.pad(ar, pad)
     ai = jnp.pad(ai, pad)
+
+    # Fused path: fold b̂ into conv-forward pass 2 and the final chirp
+    # (zero-extended) into conv-backward pass 2 — two fewer read+write
+    # sweeps of the conv-sized data (round-2 VERDICT weak #7).
+    pkey = bank_keys.get(("BPOST", n, sign))
+    if pkey is not None and leaf_fn is not None:
+        res = leaf_fn(
+            ar, ai, plan.conv, -1, bank,
+            post=(bank[pkey + "fr"], bank[pkey + "fi"]),
+        )
+        if res is not None:
+            fr, fi = res
+            res2 = leaf_fn(
+                fr, fi, plan.conv, +1, bank,
+                post=(bank[pkey + "gr"], bank[pkey + "gi"]),
+            )
+            if res2 is not None:
+                yr, yi = res2
+                return yr[..., :n], yi[..., :n]
+            # engine declined the backward pass: b̂ is already applied
+            yr, yi = exec_plan(
+                fr, fi, plan.conv, +1, bank_keys, bank, leaf_fn, precision
+            )
+            return complex_mul(yr[..., :n], yi[..., :n], cr, ci)
+
     fr, fi = exec_plan(
         ar, ai, plan.conv, -1, bank_keys, bank, leaf_fn, precision
     )
@@ -530,7 +690,5 @@ def _exec_bluestein(
     yr, yi = exec_plan(
         fr, fi, plan.conv, +1, bank_keys, bank, leaf_fn, precision
     )
-    inv = np.array(1.0 / conv_n, dtype=yr.dtype)
-    yr = yr[..., :n] * inv
-    yi = yi[..., :n] * inv
-    return complex_mul(yr, yi, cr, ci)
+    # 1/conv_n is pre-folded into the b table (TwiddleBank.chirp)
+    return complex_mul(yr[..., :n], yi[..., :n], cr, ci)

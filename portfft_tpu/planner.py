@@ -84,6 +84,27 @@ def factor_chain(n: int, max_factor: int) -> Optional[list[int]]:
     return chain
 
 
+def bluestein_conv_n(n: int) -> int:
+    """Smallest highly-composite convolution length ≥ 2n−1 for the chirp-z
+    transform.  The classic choice is the next power of two, but 3·2^k and
+    5·2^k sizes also plan to efficient kernel shapes (e.g. 196608 = 384·512
+    two-pass) and can cut the convolution traffic by up to 37.5% — n=65537
+    needs 131073, where 2^18 = 262144 overshoots by 2× but 3·2^16 = 196608
+    fits.  (The reference has no Bluestein at all,
+    committed_descriptor_impl.hpp:240-241.)"""
+    need = 2 * n - 1
+    best = 1 << need.bit_length()
+    # 3·2^k only: its splits (3·2^j or [3·2^j, 128]-fused × a 2^i half with
+    # 128 | G2) keep every kernel engine available; 5·2^k can strand the
+    # planner on splits like 512×320 whose G2 breaks the 128-lane rule.
+    c = 3 << max(0, (need // 3).bit_length())
+    while c < need:
+        c *= 2
+    if c % 128 == 0 and c < best:
+        best = c
+    return best
+
+
 def stage_shapes(factors: list[int]) -> list[tuple[int, int]]:
     """Per-stage (f, m) pairs of the Cooley–Tukey chain: stage i contracts
     factor ``f_i`` over sub-length ``m_i = prod(factors[i+1:])``."""
@@ -281,12 +302,11 @@ def plan_1d(n: int, cfg: DeviceConfig, itemsize: int) -> Plan1D:
         # peel the smooth part into a four-step with the Bluestein side.
         p = largest_prime_factor(n)
         if p == n:
-            conv_n = 1 << (2 * n - 1).bit_length()
             return Plan1D(
                 n=n,
                 level=Level.BLUESTEIN,
                 factors=[],
-                conv=plan_1d(conv_n, cfg, itemsize),
+                conv=plan_1d(bluestein_conv_n(n), cfg, itemsize),
             )
         return Plan1D(
             n=n,

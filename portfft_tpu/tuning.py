@@ -159,6 +159,12 @@ def _variants_for_entry(committed, entry) -> list[dict]:
                     and pass_est_bytes(g2p, g2p.n, t2) <= vmem
                 ):
                     out.append({"eng": 2, "t1": t1, "t2": t2})
+                    if t2 == 256:
+                        # factored-resident twiddle variant (see
+                        # pallas_global.global2_raw_call use_ftw)
+                        out.append(
+                            {"eng": 2, "t1": t1, "t2": t2, "ftw": 1}
+                        )
         if g3.global3_supported(plan, committed.config):
             fused1 = g1p.level != Level.DIRECT
             for t1 in g3.T1_CANDIDATES:
@@ -183,21 +189,29 @@ def _entry_key(committed, kind: str) -> str:
     return f"n{n}"
 
 
-def _measure(fn, x, bank, iters: int) -> float:
+def _measure_round_robin(fns: dict, x, bank, iters: int, rounds: int = 3):
+    """Time several compiled variants in interleaved bursts.
+
+    The chip's effective streaming rate can drift 2× within one process
+    (measured 200→92 GB/s over ~40 min), so sequential per-variant timing
+    conflates variant quality with chip weather; interleaving the bursts
+    puts every variant in (nearly) the same window.  Returns
+    {key: best_burst_seconds}."""
     import time
 
     import jax
 
-    r = fn(x, bank)
-    jax.device_get(r.ravel()[0:1])
-    ts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn(x, bank)
-        jax.device_get(r.ravel()[0:1])
-        ts.append((time.perf_counter() - t0) / iters)
-    return min(ts)
+    best: dict = {}
+    for _ in range(rounds):
+        for key, fn in fns.items():
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                r = fn(x, bank)
+            jax.device_get(r.ravel()[0:1])
+            t = (time.perf_counter() - t0) / iters
+            if key not in best or t < best[key]:
+                best[key] = t
+    return best
 
 
 def autotune(committed, direction=None, iters: int = 5) -> Optional[dict]:
@@ -230,28 +244,36 @@ def autotune(committed, direction=None, iters: int = 5) -> Optional[dict]:
     x = jnp.asarray(rng.uniform(-1, 1, 2 * total).astype(np.float32))
     key = _entry_key(committed, kind)
     device = committed.config.name
-    best = None
     from .utils.logging import trace
 
-    for params in variants:
+    # compile + warm every viable variant first, then time them in
+    # interleaved bursts (see _measure_round_robin: the chip rate drifts)
+    fns: dict = {}
+    for i, params in enumerate(variants):
         try:
             traced = fastpath.build_fn(
                 committed, direction, entry, 2 * total, overrides=params
             )
             if traced is None:
                 continue
-            t = _measure(jax.jit(traced), x, committed._bank_arrays, iters)
+            fn = jax.jit(traced)
+            r = fn(x, committed._bank_arrays)
+            jax.device_get(r.ravel()[0:1])
+            fns[i] = fn
         except Exception as exc:  # compile rejection: skip the variant
             trace(f"autotune {kind}/{key} {params}: rejected "
                   f"({str(exc)[:80]})")
             continue
+    if not fns:
+        return None
+    times = _measure_round_robin(fns, x, committed._bank_arrays, iters)
+    best = None
+    for i, t in times.items():
         gbps = 2 * total * 4 * 2 / t / 1e9
-        trace(f"autotune {kind}/{key} {params}: {t*1e3:.3f} ms "
+        trace(f"autotune {kind}/{key} {variants[i]}: {t*1e3:.3f} ms "
               f"{gbps:.1f} GB/s")
         if best is None or t < best[0]:
-            best = (t, params)
-    if best is None:
-        return None
+            best = (t, variants[i])
     record(device, kind, key, best[1])
     # re-register so both directions pick up the tuned parameters
     committed._raw_fast = fastpath.register(committed)

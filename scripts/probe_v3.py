@@ -21,7 +21,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, ".")
 
-import portfft_tpu as pfft  # noqa: E402
+import portfft_tpu as pfft
+from portfft_tpu.config import enable_persistent_cache
+enable_persistent_cache()  # noqa: E402
 from portfft_tpu import fastpath  # noqa: E402
 from portfft_tpu.enums import Direction  # noqa: E402
 
@@ -148,6 +150,59 @@ def reshape_probe():
         print(f"  copy {name}: {t*1e3:8.3f} ms  {gbps:7.1f} GB/s", flush=True)
 
 
+def run_global_case(n, batch, t1t2s):
+    """v3 two-pass engine vs the shipped v2 at a GLOBAL bench shape."""
+    from portfft_tpu.ops import pallas_global3 as g3
+    from portfft_tpu.ops import xla_fft
+    from portfft_tpu.enums import Level
+
+    print(f"\n== GLOBAL N={n} b={batch} ==", flush=True)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    xd = jnp.asarray(x)
+    ref = np.fft.fft(x.view(np.complex64).reshape(batch, n))
+
+    desc = pfft.Descriptor(lengths=[n], number_of_transforms=batch)
+    plan = desc.commit()
+    plan0 = plan.plans[n]
+    print("plan:", plan0.describe(), flush=True)
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    bank = plan._bank_arrays
+    if entry is not None:
+        # v2 tuned (entries without "eng" force engine 2)
+        fn = fastpath.build_fn(plan, Direction.FORWARD, entry, 2 * batch * n)
+        t, r = measure(jax.jit(fn), xd, bank)
+        gbps = 2 * batch * n * 8 / t / 1e9
+        gc = np.asarray(r).view(np.complex64).reshape(batch, n)
+        err = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+        print(f"  default({'v3' if entry[4] and False else 'tuned'}): "
+              f"{t*1e3:8.3f} ms  {gbps:7.1f} GB/s  rel={err:.2e}", flush=True)
+
+    g1p, g2p = plan0.sub
+    bankh = plan._bank
+    for t1, t2 in t1t2s:
+        if g2p.n % t1 or g1p.n % t2:
+            continue
+        names1 = g3.p1_table_names(g1p, n, t1, -1, bankh)
+        vs = bankh.vmat_split(g2p.n, -1, 1, 1.0)
+        arrs = bankh.device_arrays()
+        fn3 = g3.build_call(plan0, -1, names1, vs, plan.config, None, t1, t2)
+        if fn3 is None:
+            print(f"  v3 t1={t1} t2={t2}: no tiling", flush=True)
+            continue
+        try:
+            f = jax.jit(lambda v, fn3=fn3: fn3(v, batch, arrs))
+            t, r = measure(f, xd)
+        except Exception as e:
+            print(f"  v3 t1={t1} t2={t2}: FAILED {str(e)[:140]}", flush=True)
+            continue
+        gbps = 2 * batch * n * 8 / t / 1e9
+        gc = np.asarray(r).view(np.complex64).reshape(batch, n)
+        err = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+        print(f"  v3 t1={t1:3d} t2={t2:3d}: {t*1e3:8.3f} ms  {gbps:7.1f} GB/s"
+              f"  rel={err:.2e}", flush=True)
+
+
 if __name__ == "__main__":
     print("device:", jax.devices()[0].device_kind, flush=True)
     ceiling_probe()
@@ -156,6 +211,9 @@ if __name__ == "__main__":
         run_case(4096, 32768, bts=(16, 32))
         run_case(1024, 131072, bts=(32, 64))
         run_case(32768, 4096, bts=(2, 4))
+    if not args or "global" in args:
+        run_global_case(65536, 2048, [(256, 256), (128, 256), (128, 128)])
+        run_global_case(1 << 20, 128, [(128, 256), (64, 256), (64, 128)])
     if not args or "reshape" in args:
         print("\n== reshape relayout probe ==", flush=True)
         reshape_probe()

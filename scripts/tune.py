@@ -82,7 +82,7 @@ def tune_shape(n: int, batch: int, device: str) -> None:
     # the user cache so the planner picks them up; the finally block always
     # leaves either the measured winner or no entry at all — never a trial
     # that declined or failed (and an aborted sweep cleans up too).
-    from portfft_tpu.ops import pallas_global
+    from portfft_tpu.ops import pallas_global, pallas_global3
 
     best = None
     try:
@@ -98,8 +98,11 @@ def tune_shape(n: int, batch: int, device: str) -> None:
                 lengths=[n], number_of_transforms=batch
             ).commit()
             p = plan.plans[n]
-            if not pallas_global.global2_raw_supported(
-                p, plan.config.direct_threshold
+            if not (
+                pallas_global3.global3_supported(p, plan.config)
+                or pallas_global.global2_raw_supported(
+                    p, plan.config.direct_threshold
+                )
             ):
                 print(f"  n={n} split {g1}x{g2}: engine declines",
                       flush=True)

@@ -150,3 +150,46 @@ def test_env_flag_zero_means_off(monkeypatch):
         # on CPU the native x64 path should be taken, not df64
         plan = Descriptor(lengths=[64], precision="float64").commit()
         assert plan._df64 is False
+
+
+def test_df64_naive_prime_stage():
+    """Primes in (13, 128] run as naive O(f) vectorized df64 DFT stages
+    (round-3: lifted from the previous <=13 limit)."""
+    n = 127
+    desc = Descriptor(lengths=[n], number_of_transforms=4, precision="float64")
+    plan = desc.commit(emulate_fp64=True)
+    rng = np.random.default_rng(0)
+    x = (rng.uniform(-1, 1, (4, n)) + 1j * rng.uniform(-1, 1, (4, n)))
+    y = plan.compute_forward(x.reshape(-1).astype(np.complex128))
+    ref = np.fft.fft(x).reshape(-1)
+    rel = np.linalg.norm(np.asarray(y).reshape(-1) - ref) / np.linalg.norm(ref)
+    # CPU runs the naive stage as fori_loop at reduced (~1e-8) precision;
+    # the TPU path unrolls and keeps full df64 (see df64._dft_factor)
+    assert rel < 1e-7, rel
+
+
+def test_df64_composite_with_midsize_prime():
+    n = 2 * 31  # 62: radix-2 + naive-31 stages
+    desc = Descriptor(lengths=[n], number_of_transforms=3, precision="float64")
+    plan = desc.commit(emulate_fp64=True)
+    rng = np.random.default_rng(1)
+    x = (rng.uniform(-1, 1, (3, n)) + 1j * rng.uniform(-1, 1, (3, n)))
+    y = plan.compute_forward(x.reshape(-1).astype(np.complex128))
+    ref = np.fft.fft(x).reshape(-1)
+    rel = np.linalg.norm(np.asarray(y).reshape(-1) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-7, rel  # fori_loop naive stage on CPU (see above)
+
+
+def test_df64_4096_batch256():
+    """The round-2 VERDICT 'done' criterion: df64 N=4096 batch>=256 runs
+    end-to-end with the transform jitted on device."""
+    n, b = 4096, 256
+    desc = Descriptor(lengths=[n], number_of_transforms=b, precision="float64")
+    plan = desc.commit(emulate_fp64=True)
+    rng = np.random.default_rng(2)
+    x = (rng.uniform(-1, 1, (b, n)) + 1j * rng.uniform(-1, 1, (b, n)))
+    y = plan.compute_forward(x.reshape(-1).astype(np.complex128))
+    got = np.asarray(y).reshape(b, n)
+    ref = np.fft.fft(x)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-13, rel

@@ -148,3 +148,44 @@ def test_digit_split():
     assert g3.digit_split(128) == (8, 16)
     ga, gb = g3.digit_split(384)
     assert ga * gb == 384 and ga <= gb
+
+
+def test_global2_factored_twiddle_via_fastpath():
+    """The v2 raw engine's pass-1 factored-resident twiddle (Q tables)
+    replaces the dense streamed slices; same results."""
+    from portfft_tpu import fastpath
+
+    n, batch = 65536, 2
+    desc = pfft.Descriptor(lengths=[n], number_of_transforms=batch)
+    plan = desc.commit(use_pallas=True)
+    assert any(k[0] == "Q" for k in plan._bank_keys)
+    entry = plan._raw_fast[Direction.FORWARD]
+    fn = fastpath.build_fn(
+        plan, Direction.FORWARD, entry, 2 * batch * n,
+        overrides={"eng": 2, "ftw": 1},
+    )
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    got = np.asarray(fn(jnp.asarray(x), plan._bank_arrays))
+    ref = np.fft.fft(x.view(np.complex64).reshape(batch, n))
+    rel = np.linalg.norm(got.view(np.complex64).reshape(batch, n) - ref)
+    rel /= np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+
+def test_bluestein_fused_post_hooks():
+    """Bluestein with a GLOBAL convolution folds b-hat and the final chirp
+    into the engine's pass 2 (BPOST tables registered and exercised)."""
+    n = 65537
+    desc = pfft.Descriptor(lengths=[n], number_of_transforms=1)
+    plan = desc.commit(use_pallas=True)
+    assert ("BPOST", n, -1) in plan._bank_keys
+    assert plan.plans[n].conv.n == 196608  # 3*2^16: the 25%-smaller conv
+    rng = np.random.default_rng(8)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    y = np.asarray(plan.compute_forward(x)).view(np.complex64)
+    ref = np.fft.fft(x)
+    rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel

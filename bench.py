@@ -63,6 +63,10 @@ LADDER_CONFIGS = [
 EXTRA_CONFIGS = [
     ("large_1d_prime", 65537, 2048),     # Bluestein (reference: planned)
     ("backward_medium", 4096, 32 * 1024),  # direction=backward
+    # UNPACKED stride-2 input at GLOBAL size: exercises the regular-
+    # rectangle gather (committed._regular_1d); target within 2x of the
+    # PACKED large_1d rate (round-2 VERDICT #4)
+    ("strided_large", 65536, 512),
 ]
 MULTIDIM_CONFIGS = [  # BASELINE.json config row 5
     ("md_512x512", [512, 512], 256),
@@ -196,10 +200,24 @@ def bench_extra(cfg):
     rng = np.random.default_rng(0)
     for name, n, batch in EXTRA_CONFIGS:
         try:
-            desc = pfft.Descriptor(lengths=[n], number_of_transforms=batch)
+            if "strided" in name:
+                desc = pfft.Descriptor(
+                    lengths=[n],
+                    number_of_transforms=batch,
+                    forward_strides=[2],
+                    forward_distance=2 * n,
+                    backward_strides=[1],
+                    backward_distance=n,
+                )
+                count = 2 * batch * 2 * n
+            else:
+                desc = pfft.Descriptor(
+                    lengths=[n], number_of_transforms=batch
+                )
+                count = 2 * batch * n
             plan = desc.commit()
             x = jnp.asarray(
-                rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+                rng.uniform(-1, 1, count).astype(np.float32)
             )
             compute = (
                 plan.compute_backward

@@ -113,16 +113,45 @@ def measure_session_ceiling() -> float:
     def stream(v):
         return v + 1.0
 
-    y = stream(x)
-    _sync(y)
+    candidates = [stream]
+    if jax.default_backend() == "tpu":
+        # Pallas flat copy — the engines' DMA pattern.  XLA elementwise
+        # and Pallas copies usually converge, but slow windows have been
+        # observed to hit one and not the other; take the best of both.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        rows = x.size // 128
+        spec = pl.BlockSpec(
+            (8192, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+        @jax.jit
+        def pallas_copy(v):
+            return pl.pallas_call(
+                lambda x_ref, o_ref: o_ref.__setitem__(..., x_ref[...]),
+                grid=(rows // 8192,),
+                in_specs=[spec],
+                out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((rows, 128), v.dtype),
+            )(v.reshape(rows, 128))
+
+        candidates.append(pallas_copy)
+
     best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(8):
-            y = stream(y)
-        _sync(y)
-        t = (time.perf_counter() - t0) / 8
-        best = max(best, 2 * x.size * 4 / t / 1e9)
+    for fn in candidates:
+        try:
+            y = fn(x)
+            _sync(y)
+        except Exception:
+            continue
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                y = fn(x)
+            _sync(y)
+            t = (time.perf_counter() - t0) / 8
+            best = max(best, 2 * x.size * 4 / t / 1e9)
     return best
 
 

@@ -201,10 +201,17 @@ class CommittedDescriptor:
         # (N/2-point complex FFT + untangle) replaces the zero-imaginary
         # full C2C — half the transform work (classic rfft packing; the
         # reference throws for REAL, committed_descriptor.hpp:134-137).
+        # Gated at n ≥ 1024: below that the even/odd strided slicing and
+        # untangle passes cost more than the halved matmuls (measured:
+        # N=32 real dropped 3× under half-length).
         from .enums import Domain as _Dom
 
         nlast = descriptor.lengths[-1]
-        if _Dom(descriptor.domain) == _Dom.REAL and nlast % 2 == 0 and nlast >= 4:
+        if (
+            _Dom(descriptor.domain) == _Dom.REAL
+            and nlast % 2 == 0
+            and nlast >= 1024
+        ):
             h = nlast // 2
             if h not in self.plans:
                 self.plans[h] = plan_1d(h, self.config, itemsize)

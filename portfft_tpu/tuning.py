@@ -150,8 +150,8 @@ def _variants_for_entry(committed, entry) -> list[dict]:
         g1p, g2p = plan.sub
         vmem = committed.config.vmem_bytes  # hard bound (skip sure OOMs)
         out = []
-        for t1 in (64, 128, 256):
-            for t2 in (128, 256):
+        for t1 in (64, 128, 256, 512):
+            for t2 in (128, 256, 512):
                 if (
                     g2p.n % t1 == 0
                     and g1p.n % t2 == 0

@@ -23,6 +23,9 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import portfft_tpu as pfft  # noqa: E402
+from portfft_tpu.config import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 from portfft_tpu import tuning  # noqa: E402
 from portfft_tpu.enums import Level  # noqa: E402
 

@@ -3,7 +3,6 @@
 on the attached device) into the shipped tuning_defaults.json."""
 
 import json
-import os
 import sys
 
 sys.path.insert(0, ".")

@@ -7,7 +7,6 @@ sys.path.insert(0, ".")
 import portfft_tpu as pfft
 from portfft_tpu.config import enable_persistent_cache
 enable_persistent_cache()
-from portfft_tpu.enums import Direction
 from portfft_tpu.ops import pallas_global
 
 

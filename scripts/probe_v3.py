@@ -153,8 +153,6 @@ def reshape_probe():
 def run_global_case(n, batch, t1t2s):
     """v3 two-pass engine vs the shipped v2 at a GLOBAL bench shape."""
     from portfft_tpu.ops import pallas_global3 as g3
-    from portfft_tpu.ops import xla_fft
-    from portfft_tpu.enums import Level
 
     print(f"\n== GLOBAL N={n} b={batch} ==", flush=True)
     rng = np.random.default_rng(0)

@@ -97,8 +97,6 @@ def test_global3_engine(n, batch, sign, scale):
 def test_global3_via_fastpath_override():
     """End-to-end through the public API with the v3 engine forced via a
     tuning override (the dispatch path TPU sessions take by default)."""
-    from portfft_tpu import tuning
-
     n, batch = 65536, 2
     desc = pfft.Descriptor(lengths=[n], number_of_transforms=batch)
     plan = desc.commit(use_pallas=True)

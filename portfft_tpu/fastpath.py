@@ -339,12 +339,10 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
         keys = committed._bank_keys
         t1 = overrides.get("t1", 0)
         t2 = overrides.get("t2", 0)
-        # engine selection: 3 = interleaved two-pass (default when capable),
-        # 2 = the round-2 plane engine.  Tuned entries without an "eng" key
-        # predate v3 and were measured on engine 2.
-        eng = overrides.get("eng", 3 if g3info else 2)
-        if "t1" in overrides and "eng" not in overrides:
-            eng = 2
+        # engine selection: 2 = the plane two-pass engine (default — it
+        # won every round-3 A/B, see docs/ROUND3.md), 3 = the interleaved
+        # v3 engine, reachable via the autotuner's {"eng": 3} variants.
+        eng = overrides.get("eng", 2)
         fn3 = None
         if eng == 3 and g3info is not None:
             from .ops import pallas_global3

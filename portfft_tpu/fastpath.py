@@ -139,8 +139,18 @@ def register(committed) -> dict:
             names_v3 = [
                 wa + "r", wa + "i", te + "r", te + "i", vs + "r", vs + "i",
             ]
+            # mm (default): one-matmul K/M-stacked stage A + Karatsuba
+            # stage B with presplit bf16 tables, scale folded into Q.
+            names_mm = None
+            if g > 0:
+                ks = bank.dft_kstack(a0, sign)
+                kq = bank.mat_kara(wb2, scale)
+                names_mm = [ks + "k", tu + "r", tu + "i"] + [
+                    kq + str(j) for j in range(1, 7)
+                ]
             out[direction] = (
-                "fused2", (names_v1, names_v2, names_v3), scale, total
+                "fused2", (names_v1, names_v2, names_v3, names_mm), scale,
+                total,
             )
     return out
 
@@ -204,9 +214,13 @@ def _register_multidim(committed) -> dict:
                     if g > 1
                     else bank.dft(128, sign)
                 )
+                ks = bank.dft_kstack(a0, sign)
+                kq = bank.mat_kara(wb, 1.0)
                 last = ("fused2", [
                     wa + "r", wa + "i", tu + "r", tu + "i", wb + "r",
                     wb + "i",
+                ], [ks + "k", tu + "r", tu + "i"] + [
+                    kq + str(j) for j in range(1, 7)
                 ])
         if last is None:
             continue
@@ -288,11 +302,17 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
                     committed.config, committed.matmul_precision,
                 )
             else:
-                x = pallas_fft.fused2_raw_v2_call(
+                x = pallas_fft.fused2_raw_mm_call(
                     raw, batch_last, plan_last,
-                    [bank[nm] for nm in last[1]], committed.config,
-                    committed.matmul_precision, 1.0, bt_override=bt_row,
+                    [bank[nm] for nm in last[2]], committed.config,
+                    committed.matmul_precision, bt_override=bt_row,
                 )
+                if x is None:
+                    x = pallas_fft.fused2_raw_v2_call(
+                        raw, batch_last, plan_last,
+                        [bank[nm] for nm in last[1]], committed.config,
+                        committed.matmul_precision, 1.0, bt_override=bt_row,
+                    )
                 if x is None:
                     raise RawFastUnavailable()
             for axis in range(len(lengths) - 2, -1, -1):
@@ -368,12 +388,14 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
             return fn
 
         ftw = bool(overrides.get("ftw"))
+        mm_o = overrides.get("mm")  # None = default-on at x3 precision
 
         def fn(raw, bank):
             res = pallas_global.global2_raw_call(
                 raw, batch, plan0, sign, keys, bank, committed.config,
                 committed.matmul_precision, scale,
                 t1 if eng == 2 else 0, t2 if eng == 2 else 0, use_ftw=ftw,
+                use_mm=None if mm_o is None else bool(mm_o),
             )
             if res is None:  # no viable pass tiling for this shape
                 raise RawFastUnavailable()
@@ -381,21 +403,24 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
 
         return fn
     # fused2
-    _, (names_v1, names_v2, names_v3), scale, total = entry
+    _, (names_v1, names_v2, names_v3, names_mm), scale, total = entry
     if flat_len != 2 * total:
         return None
     plan0 = committed.plans[d.lengths[0]]
     batch = d.number_of_transforms
     bt = overrides.get("bt")
-    # engine default: v2.  Measured (v5e, 2026-08-17, ceiling 201 GB/s):
-    # v3's lane rolls cost as much XPOSE time as the deinterleave
-    # transposes they replace — v3 wins only at small a (N=1024: 102 vs
-    # 97 GB/s) and loses at large a (N=32768: 88 vs 129).  The autotuner
-    # measures both and records the per-shape winner.
-    eng = overrides.get("eng", 2)
+    # engine default: 4 = the matmul-widened mm kernel (stacked stage A +
+    # Karatsuba stage B) — the fused2 family measured MATMUL-bound, not
+    # XPOSE-bound (probe_fused2_parts, 2026-08-17: mm_only 10.5 ms vs
+    # full 12.25 at N=4096); widening the stage matmuls gained 171-179 →
+    # 209 GB/s.  2 = the plane x3 kernel (fallback for HIGHEST
+    # precision), 3 = the interleaved v3 kernel (lane rolls; loses at
+    # most shapes).  The autotuner measures all and records per-shape
+    # winners.
+    eng = overrides.get("eng", 4)
     if bt and batch % bt:
         bt = None  # stale tuning (different batch): let the kernel pick
-    if bt and eng == 2 and (bt * plan0.factors[0]) % 128:
+    if bt and eng in (2, 4) and (bt * plan0.factors[0]) % 128:
         bt = None
 
     def fn(raw, bank):
@@ -403,6 +428,12 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
         if eng == 3:
             res = pallas_fft.fused2_raw_v3_call(
                 raw, batch, plan0, [bank[nm] for nm in names_v3],
+                committed.config, committed.matmul_precision,
+                bt_override=bt,
+            )
+        elif eng == 4 and names_mm is not None:
+            res = pallas_fft.fused2_raw_mm_call(
+                raw, batch, plan0, [bank[nm] for nm in names_mm],
                 committed.config, committed.matmul_precision,
                 bt_override=bt,
             )

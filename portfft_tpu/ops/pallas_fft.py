@@ -650,6 +650,153 @@ def _fused2_v2_launch(raw, batch, plan, tables_v2, a, n, bt, prec, scale, g):
     return out.reshape(total)
 
 
+def _split2(x):
+    """Two-term bf16 operand split (the x3 scheme's runtime half)."""
+    h = x.astype(jnp.bfloat16)
+    return h, (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _mm_f32(a, b):
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+
+def kara_matmul_last(ar, ai, refs):
+    """Karatsuba complex right-matmul against presplit bf16 tables
+    (TwiddleBank.mat_kara): nine bf16 MXU matmuls instead of the x3
+    scheme's twelve, same ~1e-5 error floor (measured rel 6e-6 at
+    N=4096 vs 4e-6 for x3; tolerance 2·eps·N·log2N ≈ 1e-2)."""
+    q1, q2, q3, q4, q5, q6 = refs
+
+    def mm3(xh, xl, wh, wl):
+        out = _mm_f32(xh, wh[...])
+        out = out + _mm_f32(xl, wh[...])
+        return out + _mm_f32(xh, wl[...])
+
+    arh, arl = _split2(ar)
+    aih, ail = _split2(ai)
+    ash, asl = _split2(ar + ai)
+    t1 = mm3(arh, arl, q1, q2)
+    t2 = mm3(aih, ail, q3, q4)
+    t3 = mm3(ash, asl, q5, q6)
+    return t1 - t2, t3 - t1 - t2
+
+
+def kstack_dft_left(xr2, xi2, sa_ref, f: int):
+    """Complex DFT over the sublane axis as ONE stacked MXU matmul.
+
+    ``sa_ref``: the (2f, 6f) bf16 table from TwiddleBank.dft_kstack.
+    xr2/xi2: (f, L) planes.  Returns (f, L) re / im planes.  The x3
+    precision terms, complex products and both outputs ride in the one
+    (2f, 6f) @ (6f, L) contraction — the MXU sees K = 6f and M = 2f
+    instead of twelve K = M = f matmuls."""
+    xrh, xrl = _split2(xr2)
+    xih, xil = _split2(xi2)
+    x6 = jnp.concatenate([xrh, xrl, xrh, xih, xil, xih], axis=0)
+    y = _mm_f32(sa_ref[...], x6)
+    return y[:f], y[f:]
+
+
+def _fused2_raw_mm_kernel(a: int, bt: int, g: int):
+    """The v2 layout-L kernel with the measured matmul-bound fix
+    (probe_fused2_parts / probe_fused2_mm, 2026-08-17): stage A as the
+    one-matmul K/M-stack, stage B as Karatsuba with presplit bf16
+    tables.  Same I/O structure and restack as _fused2_raw_v2_kernel;
+    scale is folded into the stage-B tables.  N=4096 b=32768 measured
+    171-179 → 209 GB/s (bt=32)."""
+
+    def kernel(x_ref, sa, tr, ti, q1, q2, q3, q4, q5, q6,
+               o_ref, pr, pi, s3, s2):
+        rows = bt * a
+        x = x_ref[...].reshape(rows, 256)
+        for t in range(rows // 128):
+            sl = slice(t * 128, (t + 1) * 128)
+            s3[...] = x[sl, :].T
+            pr[sl, :] = s3[0::2, :].T
+            pi[sl, :] = s3[1::2, :].T
+        dump("fused2_mm.planes", pr[...])
+        xr3 = jnp.transpose(pr[...].reshape(bt, a, 128), (1, 0, 2))
+        xi3 = jnp.transpose(pi[...].reshape(bt, a, 128), (1, 0, 2))
+        L = bt * 128
+        ar2, ai2 = kstack_dft_left(
+            xr3.reshape(a, L), xi3.reshape(a, L), sa, a
+        )
+        ar3 = ar2.reshape(a, bt, 128)
+        ai3 = ai2.reshape(a, bt, 128)
+        ar3, ai3 = xla_fft.complex_mul(
+            ar3, ai3, tr[...].reshape(a, 1, 128), ti[...].reshape(a, 1, 128)
+        )
+        cr, ci = kara_matmul_last(ar3, ai3, (q1, q2, q3, q4, q5, q6))
+        if g == 1:
+            s2[0::2] = cr
+            s2[1::2] = ci
+        else:
+            Lg = 128 // g
+            for j in range(g):
+                lane = slice(j * Lg, (j + 1) * Lg)
+                s2[j * 2 * a : (j + 1) * 2 * a : 2] = cr[:, :, lane]
+                s2[j * 2 * a + 1 : (j + 1) * 2 * a : 2] = ci[:, :, lane]
+        v = jnp.transpose(s2[...], (1, 0, 2))
+        v = jnp.swapaxes(v, 1, 2)
+        dump("fused2_mm.out", v)
+        o_ref[...] = v.reshape(2 * rows, 128)
+
+    return kernel
+
+
+def fused2_raw_mm_call(
+    raw, batch, plan, tables_mm, config, precision=None,
+    bt_override: int | None = None,
+):
+    """tables_mm = [SA, U_r, U_i, Q1..Q6] (dft_kstack + twiddle_fm +
+    mat_kara of the fold-permuted W128, scale folded into Q).  Only valid
+    for the default x3-grade precision — callers wanting HIGHEST (or
+    fp64) fall back to the v2 kernel."""
+    n = plan.n
+    a = plan.factors[0]
+    g = fold_factor(a)
+    if g == 0 or _kernel_precision(precision, n) != "x3":
+        return None
+
+    def viable(bt_):
+        return batch % bt_ == 0 and (bt_ * a) % 128 == 0
+
+    from ..planner import two_stage_vmem_bytes
+
+    bt = bt_override or max(32, min(plan.batch_tile, config.batch_tile))
+    if not bt_override:
+        while bt > 1 and (
+            two_stage_vmem_bytes(a, bt) > config.vmem_budget
+            or not viable(bt)
+        ):
+            bt //= 2
+    if not viable(bt):
+        return None
+    total = raw.shape[0]
+    x2 = raw.reshape(total // 128, 128)
+    blk = 2 * bt * a
+    spec = pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _fused2_raw_mm_kernel(a, bt, g),
+        grid=(batch // bt,),
+        in_specs=[spec] + [_const_spec(t) for t in tables_mm],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((total // 128, 128), raw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt * a, 128), raw.dtype),
+            pltpu.VMEM((bt * a, 128), raw.dtype),
+            pltpu.VMEM((256, 128), raw.dtype),
+            pltpu.VMEM((2 * a * g, bt, 128 // g), raw.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * batch * n * (a + 128),
+            bytes_accessed=2 * total * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret_mode(),
+    )(x2, *tables_mm)
+    return out.reshape(total)
+
+
 def _fused2_raw_v3_kernel(a: int, bt: int, precision, g: int):
     """Interleaved-stage two-stage kernel: the input is never deinterleaved.
 

@@ -23,6 +23,7 @@ O viewed (B, G2, G1) flattens to the natural order for free
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +71,26 @@ def _sub_table_names(sub: Plan1D, sign: int, bank_keys) -> list[str]:
     return [wa + "r", wa + "i", u + "r", u + "i", p + "r", p + "i"]
 
 
+def _sub_table_names_mm(sub: Plan1D, sign: int, bank_keys):
+    """Widened-matmul table set for one sub-transform (None when the bank
+    has no bf16 tables — fp64 banks, or shapes the keys were not built
+    for).  DIRECT: Karatsuba presplit of W.  FUSED: the K/M-stacked
+    stage-A table + Karatsuba presplit of the fold-permuted W128."""
+    if sub.level == Level.DIRECT:
+        wk = bank_keys.get(("WK", sub.n, sign))
+        if wk is None:
+            return None
+        return [wk + str(j) for j in range(1, 7)]
+    a = sub.factors[0]
+    g = 128 // a
+    ks = bank_keys.get(("KS", a, sign))
+    pk = bank_keys.get(("PK", 128, sign, g))
+    u = bank_keys.get(("U", a, 128, sign))
+    if ks is None or pk is None or u is None:
+        return None
+    return [ks + "k", u + "r", u + "i"] + [pk + str(j) for j in range(1, 7)]
+
+
 def _fold_scratches(sub: Plan1D, t: int, dtype) -> list:
     """Restack scratch refs for a FUSED sub (none for DIRECT).  Oriented
     (128, a, t) so the lane dimension is the (large) tile width — at t=128
@@ -80,7 +101,7 @@ def _fold_scratches(sub: Plan1D, t: int, dtype) -> list:
     return [pltpu.VMEM((128, a, t), dtype), pltpu.VMEM((128, a, t), dtype)]
 
 
-def _lane_dft(xr, xi, sub: Plan1D, tabs, prec, fold, gtw=None):
+def _lane_dft(xr, xi, sub: Plan1D, tabs, prec, fold, gtw=None, mm=False):
     """DFT over the lane axis of (T, n) plane tensors, natural output order.
 
     DIRECT: one complex matmul.  FUSED [a, 128]: the two-stage pipeline of
@@ -105,13 +126,20 @@ def _lane_dft(xr, xi, sub: Plan1D, tabs, prec, fold, gtw=None):
     The restack uses only ops proven on hardware by the v2 raw kernel:
     contiguous sublane stores into a ≤128-lane scratch, (1,0,2) permutes,
     last-two transposes, and 128-multiple lane merges.
+
+    ``mm``: tabs are the widened-matmul set (_sub_table_names_mm) — the
+    DIRECT sub runs Karatsuba with presplit bf16 tables (9 matmuls for
+    12), the FUSED sub's stage A collapses into one K/M-stacked matmul
+    and stage B goes Karatsuba (the fused2 family measured MATMUL-bound;
+    see ops/pallas_fft._fused2_raw_mm_kernel).
     """
-    from .pallas_fft import _mm
+    from .pallas_fft import _mm, kara_matmul_last, kstack_dft_left
 
     if sub.level == Level.DIRECT:
+        if mm:
+            return kara_matmul_last(xr, xi, tabs)
         wr, wi = tabs
         return xla_fft.complex_matmul_last(xr, xi, wr[...], wi[...], prec)
-    war, wai, ur, ui, wpr, wpi = tabs
     sr, si = fold
     a = sub.factors[0]
     g = 128 // a
@@ -119,12 +147,18 @@ def _lane_dft(xr, xi, sub: Plan1D, tabs, prec, fold, gtw=None):
     # (T, n) -> (a, T, 128): lane-split reshape + leading permute
     x3r = jnp.transpose(xr.reshape(t, a, 128), (1, 0, 2))
     x3i = jnp.transpose(xi.reshape(t, a, 128), (1, 0, 2))
-    # stage A: left matmul over the a-digit (DFT matrices are symmetric)
     x2r = x3r.reshape(a, t * 128)
     x2i = x3i.reshape(a, t * 128)
-    war_, wai_ = war[...], wai[...]
-    ar = _mm(war_, x2r, prec) - _mm(wai_, x2i, prec)
-    ai = _mm(wai_, x2r, prec) + _mm(war_, x2i, prec)
+    if mm:
+        ks, ur, ui = tabs[0], tabs[1], tabs[2]
+        qs = tabs[3:9]
+        ar, ai = kstack_dft_left(x2r, x2i, ks, a)
+    else:
+        war, wai, ur, ui, wpr, wpi = tabs
+        # stage A: left matmul over the a-digit (DFT matrices are symmetric)
+        war_, wai_ = war[...], wai[...]
+        ar = _mm(war_, x2r, prec) - _mm(wai_, x2i, prec)
+        ai = _mm(wai_, x2r, prec) + _mm(war_, x2i, prec)
     # inter-factor twiddle W_sub^{k1·n2}: tables (a, 128) broadcast over T
     ar3 = ar.reshape(a, t, 128)
     ai3 = ai.reshape(a, t, 128)
@@ -132,7 +166,12 @@ def _lane_dft(xr, xi, sub: Plan1D, tabs, prec, fold, gtw=None):
         ar3, ai3, ur[...].reshape(a, 1, 128), ui[...].reshape(a, 1, 128)
     )
     # stage B against the permuted 128-point table
-    cr, ci = xla_fft.complex_matmul_last(ar3, ai3, wpr[...], wpi[...], prec)
+    if mm:
+        cr, ci = kara_matmul_last(ar3, ai3, qs)
+    else:
+        cr, ci = xla_fft.complex_matmul_last(
+            ar3, ai3, wpr[...], wpi[...], prec
+        )
     if gtw is not None:
         z2r = gtw[2][...].reshape(1, t, 128)
         z2i = gtw[3][...].reshape(1, t, 128)
@@ -257,6 +296,17 @@ def global2_call(
     names1 = _sub_table_names(g1p, sign, bank_keys)
     names2 = _sub_table_names(g2p, sign, bank_keys)
     fused1 = g1p.level != Level.DIRECT
+    # widened-matmul sub-DFTs (default at x3-grade precision; measured
+    # matmul-bound — see _lane_dft docstring).  PORTFFT_ENGINE_MM=0
+    # disables (A/B escape hatch; the toggle is read at trace time).
+    mm_ok = prec == "x3" and os.environ.get("PORTFFT_ENGINE_MM", "1") != "0"
+    n1mm = _sub_table_names_mm(g1p, sign, bank_keys) if mm_ok else None
+    n2mm = _sub_table_names_mm(g2p, sign, bank_keys) if mm_ok else None
+    use_mm1, use_mm2 = n1mm is not None, n2mm is not None
+    if use_mm1:
+        names1 = n1mm
+    if use_mm2:
+        names2 = n2mm
 
     t1 = _pick_tile(g2, g1p, g1, config.vmem_bytes * 3 // 4, 512, 128)
     t2 = _pick_tile(g1, g2p, g2, config.vmem_bytes * 3 // 4, 512, 128)
@@ -314,16 +364,17 @@ def global2_call(
             else:
                 gtw_vals = tws
             ar, ai = _lane_dft(
-                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold, gtw=gtw_vals
+                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold,
+                gtw=gtw_vals, mm=use_mm1,
             )
         elif qkey is not None:
             ar, ai = _lane_dft(
-                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold
+                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold, mm=use_mm1
             )
             ar, ai = _apply_factored_q(ar, ai, tws, pl.program_id(1), t1, gb1)
         else:
             ar, ai = _lane_dft(
-                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold
+                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold, mm=use_mm1
             )
             ar, ai = xla_fft.complex_mul(ar, ai, tws[0][...], tws[1][...])
         _pf.dump("global2.p1", ar)
@@ -379,7 +430,7 @@ def global2_call(
         or_ref, oi_ref = rest[nt2 + npost], rest[nt2 + npost + 1]
         fold = rest[nt2 + npost + 2 :]
         cr, ci = _lane_dft(
-            xr_ref[0].T, xi_ref[0].T, g2p, tabs, prec, fold
+            xr_ref[0].T, xi_ref[0].T, g2p, tabs, prec, fold, mm=use_mm2
         )  # (t2, g2) = [k1-slice, k2]
         if npost:
             cr, ci = xla_fft.complex_mul(
@@ -570,6 +621,7 @@ def global2_raw_call(
     raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
     precision=None, scale: float = 1.0, t1_override: int = 0,
     t2_override: int = 0, use_ftw: bool = False,
+    use_mm: bool | None = None,
 ):
     """PACKED interleaved raw (2·batch·n,) -> transformed raw, two passes.
 
@@ -589,6 +641,20 @@ def global2_raw_call(
     names1 = _sub_table_names(g1p, sign, bank_keys)
     names2 = _sub_table_names(g2p, sign, bank_keys)
     fused1 = g1p.level != Level.DIRECT
+    if use_mm is None:
+        mm_ok = (
+            prec == "x3"
+            and os.environ.get("PORTFFT_ENGINE_MM", "1") != "0"
+        )
+    else:
+        mm_ok = bool(use_mm) and prec == "x3"
+    n1mm = _sub_table_names_mm(g1p, sign, bank_keys) if mm_ok else None
+    n2mm = _sub_table_names_mm(g2p, sign, bank_keys) if mm_ok else None
+    use_mm1, use_mm2 = n1mm is not None, n2mm is not None
+    if use_mm1:
+        names1 = n1mm
+    if use_mm2:
+        names2 = n2mm
 
     # pass-1 lane tile is 2·t1 interleaved scalars -> t1 multiple of 64;
     # pass-2 reads t2 plane lanes -> multiple of 128
@@ -671,13 +737,16 @@ def global2_raw_call(
             else:
                 gtw_vals = tws
             ar, ai = _lane_dft(
-                pr[...], pi[...], g1p, tabs, prec, fold, gtw=gtw_vals
+                pr[...], pi[...], g1p, tabs, prec, fold, gtw=gtw_vals,
+                mm=use_mm1,
             )
         elif qkey is not None:
-            ar, ai = _lane_dft(pr[...], pi[...], g1p, tabs, prec, fold)
+            ar, ai = _lane_dft(pr[...], pi[...], g1p, tabs, prec, fold,
+                               mm=use_mm1)
             ar, ai = _apply_factored_q(ar, ai, tws, pl.program_id(1), t1, gb)
         else:
-            ar, ai = _lane_dft(pr[...], pi[...], g1p, tabs, prec, fold)
+            ar, ai = _lane_dft(pr[...], pi[...], g1p, tabs, prec, fold,
+                               mm=use_mm1)
             ar, ai = xla_fft.complex_mul(ar, ai, tws[0][...], tws[1][...])
         _pf.dump("global2.p1", ar)
         or_ref[0] = ar
@@ -718,7 +787,7 @@ def global2_raw_call(
         s2 = rest[nt2 + 1]
         fold = rest[nt2 + 2 :]
         cr, ci = _lane_dft(
-            xr_ref[0].T, xi_ref[0].T, g2p, tabs, prec, fold
+            xr_ref[0].T, xi_ref[0].T, g2p, tabs, prec, fold, mm=use_mm2
         )  # (t2, g2) = [k1-slice, k2]
         if scale != 1.0:
             cr = cr * scale

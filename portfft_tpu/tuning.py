@@ -137,6 +137,7 @@ def _variants_for_entry(committed, entry) -> list[dict]:
             if two_stage_vmem_bytes(a, bt) > committed.config.vmem_bytes:
                 continue
             if (bt * a) % 128 == 0:
+                out.append({"eng": 4, "bt": bt})
                 out.append({"eng": 2, "bt": bt})
             if (bt * a) % 8 == 0:
                 out.append({"eng": 3, "bt": bt})
@@ -161,9 +162,13 @@ def _variants_for_entry(committed, entry) -> list[dict]:
                     out.append({"eng": 2, "t1": t1, "t2": t2})
                     if t2 == 256:
                         # factored-resident twiddle variant (see
-                        # pallas_global.global2_raw_call use_ftw)
+                        # pallas_global.global2_raw_call use_ftw) and
+                        # the narrow-matmul (mm off) variant
                         out.append(
                             {"eng": 2, "t1": t1, "t2": t2, "ftw": 1}
+                        )
+                        out.append(
+                            {"eng": 2, "t1": t1, "t2": t2, "mm": 0}
                         )
         if g3.global3_supported(plan, committed.config):
             fused1 = g1p.level != Level.DIRECT

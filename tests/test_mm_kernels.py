@@ -1,0 +1,111 @@
+"""Interpret-mode tests for the matmul-widened (mm) fused2 kernel.
+
+The mm kernel (ops/pallas_fft.py ``fused2_raw_mm_call``) is the raw
+fast path's default fused2 engine on TPU: stage A as one K/M-stacked
+bf16 matmul (TwiddleBank.dft_kstack), stage B as Karatsuba with presplit
+tables (TwiddleBank.mat_kara).  Reference counterpart of this suite:
+the WORKGROUP-size rows of instantiate_fft_tests.hpp:133-137.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import portfft_tpu as pfft
+from portfft_tpu.config import DeviceConfig
+from portfft_tpu.enums import Direction
+from portfft_tpu.ops import pallas_fft, xla_fft
+from portfft_tpu.planner import plan_1d
+
+CFG = DeviceConfig()
+
+
+def _mm_tables(a, sign, scale=1.0):
+    bank = xla_fft.TwiddleBank(np.float32)
+    g = pallas_fft.fold_factor(a)
+    ks = bank.dft_kstack(a, sign)
+    tu = bank.twiddle_fm(a, 128, sign)
+    wb = bank.dft_permuted(128, sign, g) if g > 1 else bank.dft(128, sign)
+    kq = bank.mat_kara(wb, scale)
+    arrs = bank.device_arrays()
+    names = [ks + "k", tu + "r", tu + "i"] + [
+        kq + str(j) for j in range(1, 7)
+    ]
+    return [arrs[nm] for nm in names]
+
+
+@pytest.mark.parametrize(
+    "n,batch,sign,scale",
+    [
+        (1024, 16, -1, 1.0),
+        (2048, 8, -1, 1.0),
+        (4096, 4, -1, 1.0),
+        (4096, 4, +1, 1.0 / 4096.0),
+        (8192, 4, -1, 2.0),
+    ],
+)
+def test_fused2_mm_kernel(n, batch, sign, scale):
+    plan = plan_1d(n, CFG, 4)
+    a = plan.factors[0]
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    tables = _mm_tables(a, sign, scale)
+    got = pallas_fft.fused2_raw_mm_call(
+        jnp.asarray(x), batch, plan, tables, CFG
+    )
+    assert got is not None
+    gc = np.asarray(got).view(np.complex64).reshape(batch, n)
+    xc = x.view(np.complex64).reshape(batch, n)
+    ref = np.fft.fft(xc) if sign < 0 else np.fft.ifft(xc) * n
+    ref = ref * scale
+    rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+
+def test_fused2_mm_declines_highest_precision():
+    plan = plan_1d(4096, CFG, 4)
+    a = plan.factors[0]
+    x = np.zeros(2 * 4 * 4096, np.float32)
+    tables = _mm_tables(a, -1)
+    got = pallas_fft.fused2_raw_mm_call(
+        jnp.asarray(x), 4, plan, tables, CFG, precision="highest"
+    )
+    assert got is None  # caller falls back to the v2 x3/HIGHEST kernel
+
+
+def test_fused2_mm_is_fastpath_default():
+    from portfft_tpu import fastpath
+
+    n, batch = 4096, 8
+    desc = pfft.Descriptor(lengths=[n], number_of_transforms=batch)
+    plan = desc.commit(use_pallas=True)
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    assert entry is not None and entry[0] == "fused2"
+    names_mm = entry[1][3]
+    assert names_mm is not None and names_mm[0].startswith("K")
+    fn = fastpath.build_fn(plan, Direction.FORWARD, entry, 2 * batch * n)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    got = np.asarray(fn(jnp.asarray(x), plan._bank_arrays))
+    ref = np.fft.fft(x.view(np.complex64).reshape(batch, n))
+    rel = np.linalg.norm(got.view(np.complex64).reshape(batch, n) - ref)
+    rel /= np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+
+def test_fused2_mm_scale_in_tables():
+    """Backward direction folds the user scale into the Q tables."""
+    n, batch = 2048, 4
+    desc = pfft.Descriptor(lengths=[n], number_of_transforms=batch)
+    desc.backward_scale = 1.0 / n
+    plan = desc.commit(use_pallas=True)
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((batch, n)) + 1j * rng.standard_normal(
+        (batch, n))).astype(np.complex64)
+    y = np.asarray(plan.compute_backward(x)).view(np.complex64).reshape(
+        batch, n
+    )
+    ref = np.fft.ifft(x)
+    rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel

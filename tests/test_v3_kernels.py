@@ -126,7 +126,7 @@ def test_fused2_v3_via_fastpath_override():
     plan = desc.commit(use_pallas=True)
     entry = plan._raw_fast.get(Direction.FORWARD)
     assert entry is not None and entry[0] == "fused2"
-    assert len(entry[1]) == 3  # v1/v2/v3 table-name sets
+    assert len(entry[1]) == 4  # v1/v2/v3/mm table-name sets
     fn = fastpath.build_fn(
         plan, Direction.FORWARD, entry, 2 * batch * n,
         overrides={"eng": 3, "bt": 8},

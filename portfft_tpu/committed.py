@@ -1086,6 +1086,39 @@ class CommittedDescriptor:
             )
         return self._compute_interleaved(direction, x, out)
 
+    def _try_real_raw(self, direction, flat_in):
+        """Run the REAL-domain raw fast path (fastpath realf/realb entries:
+        half-length raw kernels + one Pallas un/retangle pass), or None to
+        fall back to the plane executor.  Mirrors the per-entry rejection
+        discipline of _compute_interleaved."""
+        entry = self._raw_fast.get(direction)
+        if entry is None or entry[0] not in ("realf", "realb"):
+            return None
+        from . import fastpath
+
+        traced = fastpath.build_fn(self, direction, entry, flat_in.shape[0])
+        if traced is None:
+            return None
+        key = ("rawreal", direction, flat_in.shape)
+        try:
+            compiled = self._get_compiled(key, lambda: traced, donate=())
+            return compiled(flat_in, self._bank_arrays)
+        except fastpath.RawFastUnavailable:
+            self._compiled.pop(key, None)
+            self._raw_fast.pop(direction, None)
+        except Exception as exc:
+            if not _is_kernel_rejection(exc):
+                raise
+            from .utils.logging import warn
+
+            warn(
+                f"REAL raw fast path disabled for {direction}: "
+                f"{str(exc)[:200]}"
+            )
+            self._compiled.pop(key, None)
+            self._raw_fast.pop(direction, None)
+        return None
+
     def _compute_real(self, direction, x, x_imag, out, out_imag):
         """R2C forward / C2R backward dispatch (out-of-place only).
 
@@ -1137,6 +1170,13 @@ class CommittedDescriptor:
                 )
             # interleaved
             was_numpy = isinstance(x, np.ndarray)
+            result = self._try_real_raw(
+                Direction.FORWARD, real_in
+            ) if out is None else None
+            if result is not None:
+                if was_numpy:
+                    return np.asarray(result).view(self._complex_dtype())
+                return result
             if out is not None:
                 raw_out, _ = self._to_raw(out)
             else:
@@ -1168,6 +1208,10 @@ class CommittedDescriptor:
                     "INTERLEAVED_COMPLEX input is a single buffer"
                 )
             raw_in, _ = self._to_raw(x)
+            if out is None and raw_in.shape[0] >= 2 * cplx_count:
+                result = self._try_real_raw(Direction.BACKWARD, raw_in)
+                if result is not None:
+                    return result
             in_re, in_im = self._deinterleave(raw_in)
         if in_re.shape[0] < cplx_count:
             raise InvalidConfiguration(

@@ -33,6 +33,91 @@ class RawFastUnavailable(Exception):
 _SIGNS = {Direction.FORWARD: -1, Direction.BACKWARD: +1}
 
 
+def _entry_1d(committed, plan0, n0: int, batch: int, sign: int,
+              scale: float):
+    """Build the raw fast-path entry for one 1D PACKED transform (DIRECT /
+    GLOBAL / fused2), or None when no raw kernel covers it.  Shared by the
+    COMPLEX registration and the REAL half-length wrapper (which runs the
+    n/2-point sub-transform through the same kernels)."""
+    from .ops import pallas_fft, pallas_global
+
+    bank = committed._bank
+    keys = committed._bank_keys
+    total = batch * n0
+    if plan0.level == Level.DIRECT:
+        # this kernel has no extra scratch: allow a larger share of
+        # VMEM than the general budget (restores 4096-lane blocks at
+        # N=256 while keeping the 512-point V table in bounds)
+        sup = pallas_fft.direct_raw_supported(
+            n0, total, int(committed.config.vmem_bytes * 0.75)
+        )
+        if sup:
+            chunk, rt = sup
+            key = bank.vmat(n0, sign, chunk, scale)
+            return ("direct", key, chunk, rt, total)
+        return None
+    if plan0.level == Level.GLOBAL:
+        from .ops import pallas_global3
+
+        g3info = None
+        if pallas_global3.global3_supported(plan0, committed.config):
+            g1p, g2p = plan0.sub
+            names_by_t1 = {}
+            for t1 in pallas_global3.T1_CANDIDATES:
+                if g2p.n % t1:
+                    continue
+                names_by_t1[t1] = pallas_global3.p1_table_names(
+                    g1p, n0, t1, sign, bank
+                )
+            if names_by_t1:
+                vs = bank.vmat_split(g2p.n, sign, 1, scale)
+                g3info = (names_by_t1, vs)
+        if g3info or pallas_global.global2_raw_supported(
+            plan0, committed.config.direct_threshold
+        ):
+            return ("global2", sign, scale, total, g3info)
+        return None
+    if plan0.level == Level.FUSED and pallas_fft.fused2_raw_supported(
+        n0, plan0, batch
+    ):
+        a0 = plan0.factors[0]
+        wa = keys[("W", a0, sign)]
+        tk = keys[("T", a0, 128, sign)]
+        tu = bank.twiddle_fm(a0, 128, sign)
+        wb = keys[("W", 128, sign)]
+        # v2 folds g output rows into dense lanes; its stage-B table has
+        # columns pre-permuted to land the fold in natural order.
+        g = pallas_fft.fold_factor(a0)
+        wb2 = bank.dft_permuted(128, sign, g) if g > 1 else wb
+        names_v1 = [
+            wa + "r", wa + "i", tk + "r", tk + "i", wb + "r", wb + "i",
+        ]
+        names_v2 = [
+            wa + "r", wa + "i", tu + "r", tu + "i", wb2 + "r", wb2 + "i",
+        ]
+        # v3 (interleaved stages): pair-expanded twiddle + split-output
+        # stage-B tables with the fold permutation and scale folded in.
+        te = bank.twiddle_expanded(a0, 128, sign)
+        vs = bank.vmat_split(128, sign, max(g, 1), scale)
+        names_v3 = [
+            wa + "r", wa + "i", te + "r", te + "i", vs + "r", vs + "i",
+        ]
+        # mm (default): one-matmul K/M-stacked stage A + Karatsuba
+        # stage B with presplit bf16 tables, scale folded into Q.
+        names_mm = None
+        if g > 0:
+            ks = bank.dft_kstack(a0, sign)
+            kq = bank.mat_kara(wb2, scale)
+            names_mm = [ks + "k", tu + "r", tu + "i"] + [
+                kq + str(j) for j in range(1, 7)
+            ]
+        return (
+            "fused2", (names_v1, names_v2, names_v3, names_mm), scale,
+            total,
+        )
+    return None
+
+
 def register(committed) -> dict:
     """Build the per-direction fast-path table for a committed plan."""
     d = committed.descriptor
@@ -40,9 +125,10 @@ def register(committed) -> dict:
     if not (
         committed.use_pallas
         and committed.precision.name == "float32"
-        and d.domain == Domain.COMPLEX
     ):
         return out
+    if d.domain != Domain.COMPLEX:
+        return _register_real(committed)
     if len(d.lengths) >= 2:
         return _register_multidim(committed)
     n0 = d.lengths[0]
@@ -50,11 +136,7 @@ def register(committed) -> dict:
     if plan0.level not in (Level.DIRECT, Level.FUSED, Level.GLOBAL):
         return out
 
-    from .ops import pallas_fft, pallas_global
-
     bank = committed._bank
-    keys = committed._bank_keys
-    total = d.number_of_transforms * n0
     for direction, sign in (
         (Direction.FORWARD, -1),
         (Direction.BACKWARD, +1),
@@ -78,80 +160,65 @@ def register(committed) -> dict:
                 plan0, committed.config.direct_threshold
             ):
                 names = pallas_multidim.col_table_names(plan0, sign, bank)
-                out[direction] = ("bi_col", names, scale, total)
+                out[direction] = (
+                    "bi_col", names, scale, d.number_of_transforms * n0
+                )
             continue
         packed = lin == Layout.PACKED and lout == Layout.PACKED
         if not packed:
             continue
-        if plan0.level == Level.DIRECT:
-            # this kernel has no extra scratch: allow a larger share of
-            # VMEM than the general budget (restores 4096-lane blocks at
-            # N=256 while keeping the 512-point V table in bounds)
-            sup = pallas_fft.direct_raw_supported(
-                n0, total, int(committed.config.vmem_bytes * 0.75)
-            )
-            if sup:
-                chunk, rt = sup
-                key = bank.vmat(n0, sign, chunk, scale)
-                out[direction] = ("direct", key, chunk, rt, total)
-        elif plan0.level == Level.GLOBAL:
-            from .ops import pallas_global3
+        entry = _entry_1d(
+            committed, plan0, n0, d.number_of_transforms, sign, scale
+        )
+        if entry is not None:
+            out[direction] = entry
+    return out
 
-            g3info = None
-            if pallas_global3.global3_supported(plan0, committed.config):
-                g1p, g2p = plan0.sub
-                names_by_t1 = {}
-                for t1 in pallas_global3.T1_CANDIDATES:
-                    if g2p.n % t1:
-                        continue
-                    names_by_t1[t1] = pallas_global3.p1_table_names(
-                        g1p, n0, t1, sign, bank
-                    )
-                if names_by_t1:
-                    vs = bank.vmat_split(g2p.n, sign, 1, scale)
-                    g3info = (names_by_t1, vs)
-            if g3info or pallas_global.global2_raw_supported(
-                plan0, committed.config.direct_threshold
-            ):
-                out[direction] = ("global2", sign, scale, total, g3info)
-        elif pallas_fft.fused2_raw_supported(
-            n0, plan0, d.number_of_transforms
+
+def _register_real(committed) -> dict:
+    """REAL-domain raw fast path: the PACKED real buffer doubles as the
+    interleaved raw buffer of the half-length transform; a single Pallas
+    un/retangle pass replaces the strided slices, spectrum flips and
+    interleaves of the plane path (committed._core_real_forward).
+    Registered only when the half-length packing is active (even n ≥ 1024,
+    committed.py) and its plan has a raw kernel."""
+    from .ops import pallas_real
+
+    d = committed.descriptor
+    out: dict = {}
+    if (
+        d.domain != Domain.REAL
+        or len(d.lengths) != 1
+        or d.complex_storage.name != "INTERLEAVED_COMPLEX"
+    ):
+        return out
+    n0 = d.lengths[0]
+    batch = d.number_of_transforms
+    if ("R", n0, -1) not in committed._bank_keys:
+        return out  # half-length packing inactive (odd or small n)
+    if not pallas_real.supported(n0, batch):
+        return out
+    h = n0 // 2
+    plan_h = committed.plans[h]
+    for direction, sign in (
+        (Direction.FORWARD, -1),
+        (Direction.BACKWARD, +1),
+    ):
+        out_dir = _inv(direction)
+        if d.get_offset(direction) or d.get_offset(out_dir):
+            continue
+        if not (
+            get_layout(d, direction) == Layout.PACKED
+            and get_layout(d, out_dir) == Layout.PACKED
         ):
-            a0 = plan0.factors[0]
-            wa = keys[("W", a0, sign)]
-            tk = keys[("T", a0, 128, sign)]
-            tu = bank.twiddle_fm(a0, 128, sign)
-            wb = keys[("W", 128, sign)]
-            # v2 folds g output rows into dense lanes; its stage-B table has
-            # columns pre-permuted to land the fold in natural order.
-            g = pallas_fft.fold_factor(a0)
-            wb2 = bank.dft_permuted(128, sign, g) if g > 1 else wb
-            names_v1 = [
-                wa + "r", wa + "i", tk + "r", tk + "i", wb + "r", wb + "i",
-            ]
-            names_v2 = [
-                wa + "r", wa + "i", tu + "r", tu + "i", wb2 + "r", wb2 + "i",
-            ]
-            # v3 (interleaved stages): pair-expanded twiddle + split-output
-            # stage-B tables with the fold permutation and scale folded in.
-            te = bank.twiddle_expanded(a0, 128, sign)
-            vs = bank.vmat_split(128, sign, max(g, 1), scale)
-            names_v3 = [
-                wa + "r", wa + "i", te + "r", te + "i", vs + "r", vs + "i",
-            ]
-            # mm (default): one-matmul K/M-stacked stage A + Karatsuba
-            # stage B with presplit bf16 tables, scale folded into Q.
-            names_mm = None
-            if g > 0:
-                ks = bank.dft_kstack(a0, sign)
-                kq = bank.mat_kara(wb2, scale)
-                names_mm = [ks + "k", tu + "r", tu + "i"] + [
-                    kq + str(j) for j in range(1, 7)
-                ]
-            out[direction] = (
-                "fused2", (names_v1, names_v2, names_v3, names_mm), scale,
-                total,
-            )
+            continue
+        sub = _entry_1d(committed, plan_h, h, batch, sign, 1.0)
+        if sub is None:
+            continue
+        rkey = committed._bank_keys[("R", n0, sign)]
+        scale = float(d.get_scale(direction))
+        kind = "realf" if direction == Direction.FORWARD else "realb"
+        out[direction] = (kind, sub, [rkey + "r", rkey + "i"], scale)
     return out
 
 
@@ -234,13 +301,15 @@ def _register_multidim(committed) -> dict:
     return out
 
 
-def build_fn(committed, direction, entry, flat_len: int, overrides=None):
+def build_fn(committed, direction, entry, flat_len: int, overrides=None,
+             plan_n: int | None = None):
     """Return a traced callable ``fn(raw, bank) -> raw`` for this entry, or
     None when the buffer length does not match the registered shape.
 
     Tile parameters come from ``overrides`` (autotune measuring a variant),
     else the tuned table for this device/shape (tuning.py), else the static
-    heuristics in the kernel modules."""
+    heuristics in the kernel modules.  ``plan_n`` overrides the transform
+    length (the REAL wrapper runs its n/2 sub-entry through here)."""
     from . import tuning
     from .ops import pallas_fft, pallas_global
 
@@ -250,6 +319,51 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
         overrides = tuning.lookup(
             committed.config.name, kind, tuning._entry_key(committed, kind)
         ) or {}
+    if kind in ("realf", "realb"):
+        from .ops import pallas_real
+
+        _, sub, rnames, scale = entry
+        n0 = d.lengths[0]
+        h = n0 // 2
+        batch = d.number_of_transforms
+        if kind == "realf" and flat_len != batch * n0:
+            return None
+        if kind == "realb" and flat_len != batch * (n0 + 2):
+            return None
+        # the sub-transform reuses any 1D tuning measured at its length
+        sub_over = tuning.lookup(
+            committed.config.name, sub[0], f"n{h}"
+        ) or {}
+        subfn = build_fn(
+            committed, direction, sub, 2 * batch * h,
+            overrides=sub_over, plan_n=h,
+        )
+        if subfn is None:
+            return None
+        if kind == "realf":
+
+            def fn(raw, bank):
+                z = subfn(raw, bank)
+                res = pallas_real.untangle_raw_call(
+                    z, batch, n0, [bank[nm] for nm in rnames],
+                    committed.config, scale,
+                )
+                if res is None:
+                    raise RawFastUnavailable()
+                return res
+
+        else:
+
+            def fn(raw, bank):
+                zin = pallas_real.retangle_raw_call(
+                    raw, batch, n0, [bank[nm] for nm in rnames],
+                    committed.config, scale,
+                )
+                if zin is None:
+                    raise RawFastUnavailable()
+                return subfn(zin, bank)
+
+        return fn
     if kind == "bi_col":
         _, names, scale, total = entry
         if flat_len != 2 * total:
@@ -343,9 +457,11 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
         if (2 * total) % (chunk * rt_t):
             rt_t = rt
 
+        n_direct = plan_n or d.lengths[0]
+
         def fn(raw, bank):
             return pallas_fft.direct_raw_call(
-                raw, d.lengths[0], bank[key + "v"], chunk, rt_t,
+                raw, n_direct, bank[key + "v"], chunk, rt_t,
                 committed.config, committed.matmul_precision,
             )
 
@@ -354,8 +470,8 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
         _, sign, scale, total, g3info = entry
         if flat_len != 2 * total:
             return None
-        plan0 = committed.plans[d.lengths[0]]
-        batch = d.number_of_transforms
+        plan0 = committed.plans[plan_n or d.lengths[0]]
+        batch = total // plan0.n
         keys = committed._bank_keys
         t1 = overrides.get("t1", 0)
         t2 = overrides.get("t2", 0)
@@ -406,8 +522,8 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None):
     _, (names_v1, names_v2, names_v3, names_mm), scale, total = entry
     if flat_len != 2 * total:
         return None
-    plan0 = committed.plans[d.lengths[0]]
-    batch = d.number_of_transforms
+    plan0 = committed.plans[plan_n or d.lengths[0]]
+    batch = total // plan0.n
     bt = overrides.get("bt")
     # engine default: 4 = the matmul-widened mm kernel (stacked stage A +
     # Karatsuba stage B) — the fused2 family measured MATMUL-bound, not

@@ -1,0 +1,291 @@
+"""Fused three-pass Bluestein engine for large-prime sizes.
+
+The generic chirp-z executor (ops/xla_fft._exec_bluestein) runs the padded
+convolution as two independent two-pass GLOBAL transforms plus chirp/pad
+prologue sweeps — ~8 HBM sweeps of conv-sized data.  This module collapses
+the whole transform into THREE Pallas passes by exploiting the structure of
+the convolution:
+
+1. **Prologue fold** — the chirp multiply and the zero-pad to ``conv_n``
+   ride inside conv-forward pass 1: the pass reads only the ``nv·g2 ≈ n``
+   valid rows of the (g1, g2) input view (the zero tail of the padded
+   sequence spans whole j1-rows because conv_n ≥ 2n−1), multiplies the
+   chirp table in VMEM and zero-extends the sublanes to g1 before the
+   column DFT.  Pass-1 input traffic drops from conv_n to ~n per batch row
+   (a 3x reduction at the 3·2^k convolution lengths).
+2. **Merged middle pass** — with the backward convolution factorized as
+   (G1', G2') = (g2, g1) (the forward factors swapped), the backward
+   stage-1 axis coincides with the forward stage-2 axis: forward pass-2
+   output element [k2, k1] is exactly backward pass-1 input [j1', j2'].
+   One kernel therefore runs fwd-stage-2 DFT → ×b̂ → bwd-stage-1 DFT →
+   ×backward twiddle per (t, g2) tile, deleting one full conv-sized
+   read+write sweep.
+3. **Epilogue fold** — the final chirp multiply, the user scale and the
+   slice back to ``n`` ride inside backward pass 2: the post table is zero
+   past ``n`` and only the ``nv`` valid output rows are written.
+
+Reference counterpart: none — portFFT throws for large primes
+(committed_descriptor_impl.hpp:240-241); its GLOBAL engine's fused
+store-modifiers (committed_descriptor_impl.hpp:467-468) are the pattern
+being generalized.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..enums import Level
+from ..planner import Plan1D
+from . import xla_fft
+from . import pallas_fft as _pf
+from .pallas_fft import _kernel_precision
+from .pallas_global import (
+    _const,
+    _fold_scratches,
+    _lane_dft,
+    _pick_tile,
+    _sub_table_names,
+    _sub_table_names_mm,
+    global2_supported,
+)
+
+
+def valid_rows(n: int, g2: int) -> int:
+    """Rows of the (g1, g2) input view that intersect [0, n), rounded up to
+    the sublane granularity (8) — also the valid output-row count of the
+    swapped backward factorization (both equal ceil(n / g2))."""
+    return -(-(-(-n // g2)) // 8) * 8
+
+
+def supported(plan: Plan1D, config) -> bool:
+    """The fused path needs a GLOBAL convolution whose sub-transforms the
+    in-kernel lane-DFT helper can solve, and valid-row counts below g1."""
+    if plan.level != Level.BLUESTEIN or plan.conv is None:
+        return False
+    conv = plan.conv
+    if not global2_supported(conv, config.direct_threshold):
+        return False
+    g1, g2 = conv.sub[0].n, conv.sub[1].n
+    return valid_rows(plan.n, g2) <= g1
+
+
+def _names(sub: Plan1D, sign: int, bank_keys, mm_ok: bool):
+    if mm_ok:
+        nm = _sub_table_names_mm(sub, sign, bank_keys)
+        if nm is not None:
+            return nm, True
+    return _sub_table_names(sub, sign, bank_keys), False
+
+
+def bluestein_call(
+    xr, xi, plan: Plan1D, sign: int, bank_keys, bank, config,
+    precision=None,
+):
+    """Planes (..., n) -> transformed planes (..., n), three Pallas passes.
+
+    Returns None when a required bank table is missing or no tiling fits
+    (caller falls back to the generic chirp-z executor)."""
+    if not supported(plan, config):
+        return None
+    n = plan.n
+    conv = plan.conv
+    g1p, g2p = conv.sub
+    g1, g2 = g1p.n, g2p.n
+    nv = valid_rows(n, g2)
+    prec = _kernel_precision(precision)
+    mm_ok = prec == "x3"
+
+    pre_k = bank_keys.get(("BPRE", n, sign))
+    post_k = bank_keys.get(("BPOST", n, sign))
+    fin_k = bank_keys.get(("BFIN", n, sign))
+    twb_k = bank_keys.get(("T", g2, g1, +1))
+    twf_k = bank_keys.get(("T", g1, g2, -1))
+    if None in (pre_k, post_k, fin_k, twb_k, twf_k):
+        return None
+
+    # conv directions are fixed (-1 forward, +1 backward) for either user
+    # direction; the user sign lives in the chirp tables.
+    names_f1, mm_f1 = _names(g1p, -1, bank_keys, mm_ok)
+    names_f2, mm_f2 = _names(g2p, -1, bank_keys, mm_ok)
+    names_b2, mm_b2 = _names(g2p, +1, bank_keys, mm_ok)
+    names_b1, mm_b1 = _names(g1p, +1, bank_keys, mm_ok)
+
+    vmem = config.vmem_bytes
+    t1 = _pick_tile(g2, g1p, g1, vmem * 5 // 8, 512, 128)
+    # the middle pass runs two lane-DFT stages + three streamed tables:
+    # halve the budget to double the per-tile estimate
+    t2 = _pick_tile(g1, g2p, g2, vmem * 5 // 16, 512, 128)
+    t3 = _pick_tile(g2, g1p, g1, vmem * 5 // 8, 512, 128)
+    if not (t1 and t2 and t3):
+        return None
+
+    lead = xr.shape[:-1]
+    b = math.prod(lead) if lead else 1
+    dt = xr.dtype
+    pad = [(0, 0)] * (xr.ndim - 1) + [(0, nv * g2 - n)]
+    x3r = jnp.pad(xr, pad).reshape(b, nv, g2)
+    x3i = jnp.pad(xi, pad).reshape(b, nv, g2)
+
+    # ---- pass 1: chirp · zero-extend · column DFT over g1 · fwd twiddle
+    in1 = pl.BlockSpec(
+        (1, nv, t1), lambda ti, bi: (bi, 0, ti), memory_space=pltpu.VMEM
+    )
+    pre_spec = pl.BlockSpec(
+        (nv, t1), lambda ti, bi: (0, ti), memory_space=pltpu.VMEM
+    )
+    twf_spec = pl.BlockSpec(
+        (t1, g1), lambda ti, bi: (ti, 0), memory_space=pltpu.VMEM
+    )
+    out1 = pl.BlockSpec(
+        (1, t1, g1), lambda ti, bi: (bi, ti, 0), memory_space=pltpu.VMEM
+    )
+    nt1 = len(names_f1)
+
+    def p1(xr_ref, xi_ref, bcr, bci, *rest):
+        tabs = rest[:nt1]
+        twr, twi = rest[nt1], rest[nt1 + 1]
+        or_ref, oi_ref = rest[nt1 + 2], rest[nt1 + 3]
+        fold = rest[nt1 + 4 :]
+        ar0, ai0 = xla_fft.complex_mul(
+            xr_ref[0], xi_ref[0], bcr[...], bci[...]
+        )
+        if nv < g1:
+            z = jnp.zeros((g1 - nv, t1), dt)
+            ar0 = jnp.concatenate([ar0, z], axis=0)
+            ai0 = jnp.concatenate([ai0, z], axis=0)
+        ar, ai = _lane_dft(ar0.T, ai0.T, g1p, tabs, prec, fold, mm=mm_f1)
+        ar, ai = xla_fft.complex_mul(ar, ai, twr[...], twi[...])
+        _pf.dump("bluestein3.p1", ar)
+        or_ref[0] = ar
+        oi_ref[0] = ai
+
+    sr, si = pl.pallas_call(
+        p1,
+        grid=(g2 // t1, b),
+        in_specs=[in1, in1, pre_spec, pre_spec]
+        + [_const(bank[nm]) for nm in names_f1]
+        + [twf_spec, twf_spec],
+        out_specs=[out1, out1],
+        out_shape=[jax.ShapeDtypeStruct((b, g2, g1), dt)] * 2,
+        scratch_shapes=_fold_scratches(g1p, t1, dt),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * conv.n * (sum(g1p.factors) or g1),
+            bytes_accessed=4 * 2 * b * (nv * g2 + conv.n),
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        x3r, x3i, bank[pre_k + "r"], bank[pre_k + "i"],
+        *[bank[nm] for nm in names_f1],
+        bank[twf_k + "r"], bank[twf_k + "i"],
+    )
+
+    # ---- pass 2 (merged middle): fwd row DFT over g2 · ×b̂ ·
+    #      bwd column DFT over g2 (= the same lane axis) · bwd twiddle
+    in2 = pl.BlockSpec(
+        (1, g2, t2), lambda ji, bi: (bi, 0, ji), memory_space=pltpu.VMEM
+    )
+    tab2 = pl.BlockSpec(
+        (t2, g2), lambda ji, bi: (ji, 0), memory_space=pltpu.VMEM
+    )
+    out2 = pl.BlockSpec(
+        (1, t2, g2), lambda ji, bi: (bi, ji, 0), memory_space=pltpu.VMEM
+    )
+    ntf, ntb = len(names_f2), len(names_b2)
+
+    def p2(xr_ref, xi_ref, *rest):
+        tabs_f = rest[:ntf]
+        tabs_b = rest[ntf : ntf + ntb]
+        fhr, fhi, tpr, tpi = rest[ntf + ntb : ntf + ntb + 4]
+        or_ref, oi_ref = rest[ntf + ntb + 4], rest[ntf + ntb + 5]
+        fold = rest[ntf + ntb + 6 :]
+        ar, ai = _lane_dft(
+            xr_ref[0].T, xi_ref[0].T, g2p, tabs_f, prec, fold, mm=mm_f2
+        )  # (t2, g2) = [k1-slice, k2]
+        ar, ai = xla_fft.complex_mul(ar, ai, fhr[...], fhi[...])
+        cr, ci = _lane_dft(ar, ai, g2p, tabs_b, prec, fold, mm=mm_b2)
+        # (t2, g2) = [j2'-slice, k1']
+        cr, ci = xla_fft.complex_mul(cr, ci, tpr[...], tpi[...])
+        _pf.dump("bluestein3.p2", cr)
+        or_ref[0] = cr
+        oi_ref[0] = ci
+
+    mr, mi = pl.pallas_call(
+        p2,
+        grid=(g1 // t2, b),
+        in_specs=[in2, in2]
+        + [_const(bank[nm]) for nm in names_f2]
+        + [_const(bank[nm]) for nm in names_b2]
+        + [tab2] * 4,
+        out_specs=[out2, out2],
+        out_shape=[jax.ShapeDtypeStruct((b, g1, g2), dt)] * 2,
+        scratch_shapes=_fold_scratches(g2p, t2, dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * b * conv.n * (sum(g2p.factors) or g2),
+            bytes_accessed=4 * 4 * b * conv.n,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        sr, si,
+        *[bank[nm] for nm in names_f2],
+        *[bank[nm] for nm in names_b2],
+        bank[post_k + "fr"], bank[post_k + "fi"],
+        bank[twb_k + "r"], bank[twb_k + "i"],
+    )
+
+    # ---- pass 3: bwd row DFT over g1 · final chirp/scale/zero · short write
+    in3 = pl.BlockSpec(
+        (1, g1, t3), lambda ti, bi: (bi, 0, ti), memory_space=pltpu.VMEM
+    )
+    fin_spec = pl.BlockSpec(
+        (t3, g1), lambda ti, bi: (ti, 0), memory_space=pltpu.VMEM
+    )
+    out3 = pl.BlockSpec(
+        (1, nv, t3), lambda ti, bi: (bi, 0, ti), memory_space=pltpu.VMEM
+    )
+    nt3 = len(names_b1)
+
+    def p3(xr_ref, xi_ref, *rest):
+        tabs = rest[:nt3]
+        pfr, pfi = rest[nt3], rest[nt3 + 1]
+        or_ref, oi_ref = rest[nt3 + 2], rest[nt3 + 3]
+        fold = rest[nt3 + 4 :]
+        cr, ci = _lane_dft(
+            xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold, mm=mm_b1
+        )  # (t3, g1) = [k1'-slice, k2']
+        cr, ci = xla_fft.complex_mul(cr, ci, pfr[...], pfi[...])
+        _pf.dump("bluestein3.p3", cr)
+        or_ref[0] = cr.T[:nv]
+        oi_ref[0] = ci.T[:nv]
+
+    yr, yi = pl.pallas_call(
+        p3,
+        grid=(g2 // t3, b),
+        in_specs=[in3, in3]
+        + [_const(bank[nm]) for nm in names_b1]
+        + [fin_spec, fin_spec],
+        out_specs=[out3, out3],
+        out_shape=[jax.ShapeDtypeStruct((b, nv, g2), dt)] * 2,
+        scratch_shapes=_fold_scratches(g1p, t3, dt),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * conv.n * (sum(g1p.factors) or g1),
+            bytes_accessed=4 * 2 * b * (conv.n + nv * g2),
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        mr, mi,
+        *[bank[nm] for nm in names_b1],
+        bank[fin_k + "r"], bank[fin_k + "i"],
+    )
+
+    # (b, nv, g2) row-major flat index = k1' + g2·k2' = the output index.
+    yr = yr.reshape(b, nv * g2)[:, :n].reshape(*lead, n)
+    yi = yi.reshape(b, nv * g2)[:, :n].reshape(*lead, n)
+    return yr, yi

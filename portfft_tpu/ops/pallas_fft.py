@@ -921,6 +921,14 @@ def leaf_dispatch(
     convolution passes."""
     if xr.dtype != jnp.float32:
         return None
+    if plan.level == Level.BLUESTEIN:
+        from . import pallas_bluestein
+
+        if post is not None:
+            return None
+        return pallas_bluestein.bluestein_call(
+            xr, xi, plan, sign, bank_keys, bank, config, precision
+        )
     if plan.level == Level.GLOBAL:
         from . import pallas_global
 

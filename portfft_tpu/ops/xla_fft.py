@@ -203,6 +203,43 @@ class TwiddleBank:
             self.host[key] = None
         return key
 
+    def bluestein_pre(self, n: int, g2: int, nv: int, sign: int) -> str:
+        """Pass-1 chirp table for the fused three-pass Bluestein engine
+        (ops/pallas_bluestein): (nv, g2) [j1, j2] = c[j1·g2 + j2], zero past
+        n — multiplied onto the valid input rows inside conv-forward pass 1
+        so the chirp/zero-pad prologue sweep disappears."""
+        key = f"C{'f' if sign < 0 else 'b'}{n}_{g2}x{nv}"
+        if key not in self.host:
+            cr, ci = tw.bluestein_chirp(n, sign, np.float64)
+            cz = np.zeros(nv * g2, dtype=np.complex128)
+            cz[:n] = cr + 1j * ci
+            m = cz.reshape(nv, g2)
+            self.host[key + "r"] = m.real.astype(self.dtype)
+            self.host[key + "i"] = m.imag.astype(self.dtype)
+            self.host[key] = None
+        return key
+
+    def bluestein_final(self, n: int, g1b: int, g2b: int, sign: int) -> str:
+        """Pass-3 post table for the fused Bluestein engine: the final chirp
+        on the swapped backward factorization (G1', G2') = (g1b, g2b),
+        arranged [k1', k2'] (g1b, g2b) with value c[k1' + g1b·k2'], zero
+        past n — folds the final chirp multiply AND the slice back to n
+        into backward pass 2."""
+        key = f"D{'f' if sign < 0 else 'b'}{n}_{g1b}x{g2b}"
+        if key not in self.host:
+            cr, ci = tw.bluestein_chirp(n, sign, np.float64)
+            cz = np.zeros(g1b * g2b, dtype=np.complex128)
+            cz[:n] = cr + 1j * ci
+            m = cz.reshape(g2b, g1b).T  # [k1', k2']
+            self.host[key + "r"] = np.ascontiguousarray(m.real).astype(
+                self.dtype
+            )
+            self.host[key + "i"] = np.ascontiguousarray(m.imag).astype(
+                self.dtype
+            )
+            self.host[key] = None
+        return key
+
     def twiddle_fm(self, f: int, m: int, sign: int) -> str:
         """Inter-factor twiddles in natural (f, m) orientation (used by the
         layout-L raw kernel, where k1 is the sublane dimension)."""
@@ -642,6 +679,22 @@ def collect_bank_keys(
             keys[("BPOST", plan.n, sign)] = bank.bluestein_post(
                 plan.n, conv_n, g1c.n, g2c.n, sign
             )
+            # fused three-pass engine tables (ops/pallas_bluestein):
+            # chirp prologue, swapped-factorization backward twiddle,
+            # final-chirp epilogue
+            from .pallas_bluestein import valid_rows
+
+            nv = valid_rows(plan.n, g2c.n)
+            if nv <= g1c.n and bank.dtype == np.float32:
+                keys[("BPRE", plan.n, sign)] = bank.bluestein_pre(
+                    plan.n, g2c.n, nv, sign
+                )
+                keys[("BFIN", plan.n, sign)] = bank.bluestein_final(
+                    plan.n, g2c.n, g1c.n, sign
+                )
+                keys[("T", g2c.n, g1c.n, +1)] = bank.twiddle(
+                    g2c.n, g1c.n, +1
+                )
         collect_bank_keys(plan.conv, -1, bank, keys)
         collect_bank_keys(plan.conv, +1, bank, keys)
     return keys
@@ -703,6 +756,12 @@ def exec_plan(
         return cr, ci
 
     if plan.level == Level.BLUESTEIN:
+        if leaf_fn is not None:
+            # fused three-pass chirp-z engine (ops/pallas_bluestein);
+            # None -> generic chirp-mul/pad + convolution chain below
+            res = leaf_fn(xr, xi, plan, sign, bank)
+            if res is not None:
+                return res
         return _exec_bluestein(
             xr, xi, plan, sign, bank_keys, bank, leaf_fn, precision
         )

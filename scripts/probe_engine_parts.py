@@ -25,12 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, ".")
 
-import portfft_tpu as pfft  # noqa: E402
 from portfft_tpu.config import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 from portfft_tpu.ops import xla_fft  # noqa: E402
-from portfft_tpu.ops.pallas_fft import _kernel_precision, _mm  # noqa: E402
+from portfft_tpu.ops.pallas_fft import _kernel_precision  # noqa: E402
 
 
 def measure(fn, *args, iters=10):

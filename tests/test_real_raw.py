@@ -1,0 +1,99 @@
+"""Interpret-mode tests for the REAL-domain raw fast path.
+
+fastpath realf/realb entries run the packed half-length transform through
+the raw complex kernels (the PACKED real buffer IS the interleaved raw
+buffer of z = x_even + i·x_odd) plus ONE Pallas un/retangle pass
+(ops/pallas_real.py).  Reference counterpart: none (REAL throws,
+committed_descriptor.hpp:134-137); the untangle math mirrors
+committed._core_real_forward/_backward, which these tests cross-check
+against numpy rfft/irfft.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import portfft_tpu as pfft
+from portfft_tpu.config import DeviceConfig
+from portfft_tpu.enums import Direction, Domain
+from portfft_tpu.ops import pallas_real
+
+CFG = DeviceConfig()
+
+
+@pytest.mark.parametrize(
+    "n,batch",
+    [(1024, 64), (2048, 32), (4096, 32), (8192, 16), (65536, 16)],
+)
+def test_real_raw_forward_backward(n, batch):
+    plan = pfft.Descriptor(
+        lengths=[n], number_of_transforms=batch, domain=Domain.REAL
+    ).commit(use_pallas=True)
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    assert entry is not None and entry[0] == "realf"
+    assert plan._raw_fast[Direction.BACKWARD][0] == "realb"
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(batch * n).astype(np.float32)
+    y = plan.compute_forward(x)
+    assert any(k[0] == "rawreal" for k in plan._compiled), (
+        "REAL raw fast path not taken"
+    )
+    ref = np.fft.rfft(x.reshape(batch, n), axis=1).reshape(-1)
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 1e-4
+    xb = np.asarray(plan.compute_backward(y)) / n
+    rel_rt = np.abs(xb - x).max() / np.abs(x).max()
+    assert rel_rt < 1e-4
+
+
+def test_real_raw_scales():
+    n, batch = 2048, 32
+    plan = pfft.Descriptor(
+        lengths=[n], number_of_transforms=batch, domain=Domain.REAL,
+        forward_scale=2.0, backward_scale=1.0 / n,
+    ).commit(use_pallas=True)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(batch * n).astype(np.float32)
+    y = plan.compute_forward(x)
+    ref = 2.0 * np.fft.rfft(x.reshape(batch, n), axis=1).reshape(-1)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-4
+    xb = np.asarray(plan.compute_backward(y / 2.0))
+    assert np.abs(xb - x).max() / np.abs(x).max() < 1e-4
+
+
+def test_untangle_kernel_isolated():
+    n, b = 2048, 32
+    h = n // 2
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    z = x.reshape(b, h, 2)[..., 0] + 1j * x.reshape(b, h, 2)[..., 1]
+    zf = np.fft.fft(z, axis=1)
+    zraw = np.empty((b, 2 * h), np.float32)
+    zraw[:, 0::2] = zf.real
+    zraw[:, 1::2] = zf.imag
+    k = np.arange(h)
+    th = 2 * np.pi / n * k
+    wr = jnp.asarray(np.cos(th).astype(np.float32))
+    wi = jnp.asarray((-np.sin(th)).astype(np.float32))
+    out = pallas_real.untangle_raw_call(
+        jnp.asarray(zraw.reshape(-1)), b, n, [wr, wi], CFG
+    )
+    got = np.asarray(out).reshape(b, h + 1, 2)
+    gc = got[..., 0] + 1j * got[..., 1]
+    ref = np.fft.rfft(x, axis=1)
+    assert np.abs(gc - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_unsupported_shapes_decline():
+    # odd half length -> no registration (falls back to plane path)
+    assert not pallas_real.supported(1000, 8)  # h = 500 not 128-multiple
+    plan = pfft.Descriptor(
+        lengths=[1040], number_of_transforms=8, domain=Domain.REAL
+    ).commit(use_pallas=True)
+    assert plan._raw_fast.get(Direction.FORWARD) is None
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(8 * 1040).astype(np.float32)
+    y = plan.compute_forward(x)  # plane path still correct
+    ref = np.fft.rfft(x.reshape(8, 1040), axis=1).reshape(-1)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-4

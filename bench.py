@@ -92,26 +92,34 @@ def _sync(arr):
     jax.device_get(arr.ravel()[0:1])
 
 
-def measure_session_ceiling() -> float:
-    """In-process HBM streaming ceiling, GB/s (read+write of one pass).
+def make_ceiling_probe():
+    """In-process HBM streaming-ceiling sampler, GB/s (read+write of one
+    pass).
 
     The attached chip's effective streaming rate varies 150-340 GB/s
-    between sessions (XLA elementwise, manual DMA and Pallas pipelined
-    copies all converge to the same per-session rate), so roofline
-    percentages against the nominal peak conflate engine quality with
-    chip weather.  This probe measures a large warmed elementwise pass in
-    the same process; per-config output reports ``pct_of_ceiling``
-    against it.  Reference counterpart: the bench harness's
-    global_mem_transactions throughput counter (ops_estimate.hpp:47-50).
+    between sessions AND minute-to-minute within one (a one-shot probe at
+    start has read 100 GB/s while kernels later sustained 290), so
+    roofline percentages against the nominal peak — or against one cold
+    sample — conflate engine quality with chip weather.  This returns a
+    ``sample(rounds)`` closure over pre-warmed probe kernels; the bench
+    re-samples before every config and reports against the RUNNING MAX.
+    Reference counterpart: the bench harness's global_mem_transactions
+    throughput counter (ops_estimate.hpp:47-50).
     """
     import jax
     import jax.numpy as jnp
 
     x = jnp.arange(192 * 2**20 // 4, dtype=jnp.float32)  # 192 MiB
+    # 8 HBM passes per jitted call: a single 1.4 ms elementwise pass is
+    # dominated by per-call dispatch latency on tunneled runtimes (the
+    # one-pass probe read 77 GB/s while FFT kernels sustained 280 in the
+    # same minute); a fori_loop carry cannot fuse across iterations, so
+    # each call moves 8×(read+write) and amortizes the dispatch.
+    passes = 8
 
     @jax.jit
     def stream(v):
-        return v + 1.0
+        return jax.lax.fori_loop(0, passes, lambda i, a: a + 1.0, v)
 
     candidates = [stream]
     if jax.default_backend() == "tpu":
@@ -126,33 +134,45 @@ def measure_session_ceiling() -> float:
             (8192, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
 
-        @jax.jit
-        def pallas_copy(v):
+        def copy_once(v):
             return pl.pallas_call(
                 lambda x_ref, o_ref: o_ref.__setitem__(..., x_ref[...]),
                 grid=(rows // 8192,),
                 in_specs=[spec],
                 out_specs=spec,
                 out_shape=jax.ShapeDtypeStruct((rows, 128), v.dtype),
-            )(v.reshape(rows, 128))
+            )(v)
+
+        @jax.jit
+        def pallas_copy(v):
+            return jax.lax.fori_loop(
+                0, passes, lambda i, a: copy_once(a), v.reshape(rows, 128)
+            )
 
         candidates.append(pallas_copy)
 
-    best = 0.0
+    warmed = []
     for fn in candidates:
         try:
             y = fn(x)
             _sync(y)
+            warmed.append(fn)
         except Exception:
             continue
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(8):
-                y = fn(x)
-            _sync(y)
-            t = (time.perf_counter() - t0) / 8
-            best = max(best, 2 * x.size * 4 / t / 1e9)
-    return best
+
+    def sample(rounds: int = 1) -> float:
+        best = 0.0
+        for fn in warmed:
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                for _ in range(2):
+                    y = fn(x)
+                _sync(y)
+                t = (time.perf_counter() - t0) / (2 * passes)
+                best = max(best, 2 * x.size * 4 / t / 1e9)
+        return best
+
+    return sample
 
 
 def bench_config(name, n, batch, hbm_gbps, ceiling_gbps=None, rotate=0):
@@ -351,13 +371,16 @@ def main():
     )
 
     try:
-        ceiling = measure_session_ceiling()
+        ceiling_sample = make_ceiling_probe()
+        ceiling = ceiling_sample(rounds=2)
         print(
-            f"session streaming ceiling: {ceiling:.1f} GB/s "
-            f"({100 * ceiling / cfg.hbm_gbps:.0f}% of nominal peak)",
+            f"session streaming ceiling (first sample): {ceiling:.1f} GB/s "
+            f"({100 * ceiling / cfg.hbm_gbps:.0f}% of nominal peak; "
+            f"re-sampled before every config, running max reported)",
             file=sys.stderr,
         )
     except Exception as exc:
+        ceiling_sample = None
         ceiling = 0.0
         print(f"ceiling probe failed: {exc}", file=sys.stderr)
 
@@ -365,6 +388,8 @@ def main():
 
     gflops_list, eff_list = [], []
     for name, n, batch in CONFIGS:
+        if ceiling_sample is not None:
+            ceiling = max(ceiling, ceiling_sample())
         try:
             g, e = bench_config(name, n, batch, cfg.hbm_gbps, ceiling, rotate)
         except Exception as exc:  # keep the bench line alive per-config
@@ -374,6 +399,8 @@ def main():
         eff_list.append(e)
     # north-star ladder top (not in the headline geomean — see docstring)
     for name, n, batch in LADDER_CONFIGS:
+        if ceiling_sample is not None:
+            ceiling = max(ceiling, ceiling_sample())
         try:
             bench_config(name, n, batch, cfg.hbm_gbps, ceiling, rotate)
         except Exception as exc:

@@ -109,3 +109,30 @@ def test_fused2_mm_scale_in_tables():
     ref = np.fft.ifft(x)
     rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
     assert rel < 1e-4, rel
+
+
+def test_global2_mm_override_parity():
+    """The autotuner's {"mm": 0} (narrow-matmul) engine variant matches
+    the mm default within the x3 error floor."""
+    from portfft_tpu import fastpath
+
+    n, batch = 65536, 8
+    plan = pfft.Descriptor(
+        lengths=[n], number_of_transforms=batch
+    ).commit(use_pallas=True)
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    assert entry is not None and entry[0] == "global2"
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    outs = {}
+    for mm in (0, 1):
+        fn = fastpath.build_fn(
+            plan, Direction.FORWARD, entry, 2 * batch * n,
+            overrides={"eng": 2, "mm": mm},
+        )
+        outs[mm] = np.asarray(fn(jnp.asarray(x), plan._bank_arrays))
+    ref = np.fft.fft(x.view(np.complex64).reshape(batch, n))
+    for mm, got in outs.items():
+        gc = got.view(np.complex64).reshape(batch, n)
+        rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+        assert rel < 1e-4, (mm, rel)

@@ -16,6 +16,10 @@ reference_dft_set.hpp:89-92 and ops_estimate.hpp:34-50):
 Protocol follows the reference host-time measurement (launch_bench.hpp:
 50-145): warm-up + verification on the first run, then the average of
 ``RUNS_TO_AVERAGE`` asynchronously-dispatched computes per sample.
+Samples are interleaved ROUND-ROBIN across the configs of a group
+(SAMPLES rounds, per-config min) because the attached chip's streaming
+rate drifts minute-to-minute — contiguous per-config windows would tattoo
+one slow minute onto one config.
 
 Cache invalidation: the reference rewrites inputs each iteration and
 rotates ≤10 input buffers (bench_utils.hpp:39-64) to defeat the GPU LLC.
@@ -175,8 +179,11 @@ def make_ceiling_probe():
     return sample
 
 
-def bench_config(name, n, batch, hbm_gbps, ceiling_gbps=None, rotate=0):
-    import jax
+def prepare_config(name, n, batch, rotate=0):
+    """Commit + verify one config; returns the timing state (device buffers
+    stay resident so samples can interleave across configs)."""
+    import jax.numpy as jnp
+
     import portfft_tpu as pfft
 
     desc = pfft.Descriptor(lengths=[n], number_of_transforms=batch)
@@ -185,8 +192,6 @@ def bench_config(name, n, batch, hbm_gbps, ceiling_gbps=None, rotate=0):
     rng = np.random.default_rng(0)
     # Raw interleaved float buffer — the zero-conversion device path.
     x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
-    import jax.numpy as jnp
-
     xd = jnp.asarray(x)
     # --rotate: cycle distinct input buffers between iterations, the
     # reference's LLC-defeat protocol (bench_utils.hpp:39-64, ≤10 rotating
@@ -210,17 +215,28 @@ def bench_config(name, n, batch, hbm_gbps, ceiling_gbps=None, rotate=0):
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     if not rel < 1e-2:
         raise AssertionError(f"{name}: verification failed, rel={rel}")
+    return {
+        "name": name, "n": n, "batch": batch, "plan": plan,
+        "inputs": inputs, "y": y, "rel": rel, "times": [],
+    }
 
-    times = []
-    for _ in range(SAMPLES):
-        _sync(y)
-        t0 = time.perf_counter()
-        for it in range(RUNS_TO_AVERAGE):
-            y = plan.compute_forward(inputs[it % len(inputs)])
-        _sync(y)
-        times.append((time.perf_counter() - t0) / RUNS_TO_AVERAGE)
-    t = min(times)
 
+def sample_config(st):
+    """One timing burst (RUNS_TO_AVERAGE computes) for a prepared config."""
+    y = st["y"]
+    plan, inputs = st["plan"], st["inputs"]
+    _sync(y)
+    t0 = time.perf_counter()
+    for it in range(RUNS_TO_AVERAGE):
+        y = plan.compute_forward(inputs[it % len(inputs)])
+    _sync(y)
+    st["times"].append((time.perf_counter() - t0) / RUNS_TO_AVERAGE)
+    st["y"] = y
+
+
+def report_config(st, hbm_gbps, ceiling_gbps=None):
+    n, batch = st["n"], st["batch"]
+    t = min(st["times"])
     flops = 5.0 * batch * n * math.log2(n)
     bytes_moved = batch * n * 8 * 2  # complex64 in + out, single-pass
     gflops = flops / t / 1e9
@@ -230,12 +246,46 @@ def bench_config(name, n, batch, hbm_gbps, ceiling_gbps=None, rotate=0):
     if ceiling_gbps:
         ceil_txt = f"  {100*gbps/ceiling_gbps:5.1f}% of ceiling"
     print(
-        f"  {name:18s} N={n:<7d} b={batch:<9d} {t*1e3:8.3f} ms  "
+        f"  {st['name']:18s} N={n:<7d} b={batch:<9d} {t*1e3:8.3f} ms  "
         f"{gflops:9.1f} GFLOP/s  {gbps:8.1f} GB/s  {100*eff:5.1f}% roofline"
-        f"{ceil_txt}  rel_err={rel:.1e}",
+        f"{ceil_txt}  rel_err={st['rel']:.1e}",
         file=sys.stderr,
     )
     return gflops, eff
+
+
+def bench_group(configs, hbm_gbps, ceiling_sample, ceiling, rotate=0):
+    """Bench a group of configs with timing bursts interleaved round-robin
+    across the group (SAMPLES rounds, per-config min): the chip's streaming
+    rate drifts minute-to-minute, so contiguous per-config timing windows
+    conflate config quality with chip weather (same protocol the autotuner
+    uses).  All group buffers stay device-resident, so groups are sized to
+    fit HBM; --rotate multiplies input buffers and falls back to
+    one-config groups.
+
+    Returns (results, ceiling): results maps name -> (gflops, eff)."""
+    group_size = 1 if rotate else len(configs)
+    results = {}
+    for lo in range(0, len(configs), group_size):
+        states = []
+        for name, n, batch in configs[lo : lo + group_size]:
+            try:
+                states.append(prepare_config(name, n, batch, rotate))
+            except Exception as exc:
+                print(f"  {name}: FAILED {exc}", file=sys.stderr)
+        for _ in range(SAMPLES):
+            if ceiling_sample is not None:
+                ceiling = max(ceiling, ceiling_sample())
+            for st in states:
+                try:
+                    sample_config(st)
+                except Exception as exc:
+                    print(f"  {st['name']}: FAILED {exc}", file=sys.stderr)
+                    st["failed"] = True
+            states = [st for st in states if not st.get("failed")]
+        for st in states:
+            results[st["name"]] = report_config(st, hbm_gbps, ceiling)
+    return results, ceiling
 
 
 def bench_extra(cfg):
@@ -386,25 +436,15 @@ def main():
 
     rotate = 4 if "--rotate" in sys.argv else 0
 
-    gflops_list, eff_list = [], []
-    for name, n, batch in CONFIGS:
-        if ceiling_sample is not None:
-            ceiling = max(ceiling, ceiling_sample())
-        try:
-            g, e = bench_config(name, n, batch, cfg.hbm_gbps, ceiling, rotate)
-        except Exception as exc:  # keep the bench line alive per-config
-            print(f"  {name}: FAILED {exc}", file=sys.stderr)
-            continue
-        gflops_list.append(g)
-        eff_list.append(e)
+    results, ceiling = bench_group(
+        CONFIGS, cfg.hbm_gbps, ceiling_sample, ceiling, rotate
+    )
+    gflops_list = [g for g, _ in results.values()]
+    eff_list = [e for _, e in results.values()]
     # north-star ladder top (not in the headline geomean — see docstring)
-    for name, n, batch in LADDER_CONFIGS:
-        if ceiling_sample is not None:
-            ceiling = max(ceiling, ceiling_sample())
-        try:
-            bench_config(name, n, batch, cfg.hbm_gbps, ceiling, rotate)
-        except Exception as exc:
-            print(f"  {name}: FAILED {exc}", file=sys.stderr)
+    _, ceiling = bench_group(
+        LADDER_CONFIGS, cfg.hbm_gbps, ceiling_sample, ceiling, rotate
+    )
 
     if not gflops_list:
         # keep the one-JSON-line contract alive even with no working config

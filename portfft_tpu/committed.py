@@ -1177,7 +1177,17 @@ class CommittedDescriptor:
                 if was_numpy:
                     return np.asarray(result).view(self._complex_dtype())
                 return result
-            if out is not None:
+            if d.placement == Placement.IN_PLACE:
+                # FFTW padded layout: the half spectrum overwrites the
+                # padded real buffer (validation pinned the distances)
+                if real_in.shape[0] < 2 * cplx_count:
+                    raise InvalidConfiguration(
+                        "in-place REAL buffer needs "
+                        f"{2 * cplx_count} real elements (padded rows of "
+                        "2*(n/2+1))"
+                    )
+                raw_out = real_in
+            elif out is not None:
                 raw_out, _ = self._to_raw(out)
             else:
                 raw_out = jnp.zeros(2 * cplx_count, dtype=self.precision)
@@ -1217,11 +1227,14 @@ class CommittedDescriptor:
             raise InvalidConfiguration(
                 f"half-spectrum input needs {cplx_count} complex elements"
             )
-        real_out = (
-            jnp.asarray(out).reshape(-1)
-            if out is not None
-            else jnp.zeros(real_count, dtype=self.precision)
-        )
+        if d.placement == Placement.IN_PLACE:
+            # the padded real rows overwrite the spectrum in the same
+            # buffer; gap scalars (the 2-element row pads) are preserved
+            real_out = raw_in
+        elif out is not None:
+            real_out = jnp.asarray(out).reshape(-1)
+        else:
+            real_out = jnp.zeros(real_count, dtype=self.precision)
         key = ("c2r", in_re.shape, real_out.shape, split)
         return self._run(
             key,

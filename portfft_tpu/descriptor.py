@@ -109,7 +109,16 @@ class Descriptor:
         else:
             self.backward_strides = [int(s) for s in self.backward_strides]
         if self.forward_distance is None:
-            self.forward_distance = flattened_length(self.lengths)
+            if (
+                self.domain == Domain.REAL
+                and self.placement == Placement.IN_PLACE
+                and len(self.lengths) == 1
+            ):
+                # FFTW in-place r2c layout: real rows padded to 2·(n/2+1)
+                # so the half spectrum fits in the same buffer.
+                self.forward_distance = 2 * (self.lengths[-1] // 2 + 1)
+            else:
+                self.forward_distance = flattened_length(self.lengths)
         if self.backward_distance is None:
             self.backward_distance = flattened_length(bwd_lengths)
         self.forward_distance = int(self.forward_distance)

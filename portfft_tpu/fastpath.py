@@ -506,6 +506,22 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         ftw = bool(overrides.get("ftw"))
         mm_o = overrides.get("mm")  # None = default-on at x3 precision
 
+        if eng == 5 and pallas_global.global_sq_supported(
+            plan0, committed.config
+        ):
+            bt5 = overrides.get("bt", 0)
+
+            def fn5(raw, bank):
+                res = pallas_global.global_sq_raw_call(
+                    raw, batch, plan0, sign, keys, bank, committed.config,
+                    committed.matmul_precision, scale, bt_override=bt5,
+                )
+                if res is None:
+                    raise RawFastUnavailable()
+                return res
+
+            return fn5
+
         def fn(raw, bank):
             res = pallas_global.global2_raw_call(
                 raw, batch, plan0, sign, keys, bank, committed.config,

@@ -608,6 +608,176 @@ def fft_axis_m2_fused_call(
     )
 
 
+def _sq_tab_bytes(sub: Plan1D) -> int:
+    """Resident table bytes for one sub in the single-pass kernel: DIRECT
+    = six (n, n) bf16 Karatsuba presplits; FUSED = kstack + twiddle_fm +
+    six (128, 128) presplits."""
+    if sub.level == Level.DIRECT:
+        return 12 * sub.n * sub.n
+    a = sub.factors[0]
+    return 24 * a * a + 8 * a * 128 + 12 * 128 * 128
+
+
+def _sq_fold_bytes(sub: Plan1D, t: int) -> int:
+    if sub.level == Level.DIRECT:
+        return 0
+    return 2 * 128 * sub.factors[0] * t * 4
+
+
+def sq_est_bytes(plan: Plan1D, bt: int) -> int:
+    """VMEM working-set estimate of the single-pass square kernel: in/out
+    blocks double-buffered, two plane scratches, matmul split/term
+    temporaries for both stages (~6 plane-sized tensors each live in
+    turn), interleave scratches, fold scratches for FUSED subs, and the
+    resident tables (per-sub matmul sets + the dense inter-factor
+    twiddle)."""
+    g1p, g2p = plan.sub
+    g1, g2 = g1p.n, g2p.n
+    dp = bt * g1 * g2 * 4
+    tables = _sq_tab_bytes(g1p) + _sq_tab_bytes(g2p) + 2 * g1 * g2 * 4
+    return (
+        22 * dp
+        + (2 * g1 + 2 * g2) * 128 * 4
+        + _sq_fold_bytes(g1p, bt * g2)
+        + _sq_fold_bytes(g2p, bt * g1)
+        + tables
+    )
+
+
+def global_sq_supported(plan: Plan1D, config) -> bool:
+    """Single-pass variant: the whole n = G1·G2 transform in one Pallas
+    kernel — half the HBM traffic of the two-pass engine at the same total
+    MXU work.  Worth it when the two passes are DMA-bound (the mm kernels
+    made them so); reachable via the autotuner's {"eng": 5} variants.
+    Needs lane-DFT-solvable subs (DIRECT ≤ 256 or the [a, 128] FUSED
+    shape), 128-aligned for the in-kernel de/interleave, and the
+    per-transform working set in VMEM."""
+    if plan.level != Level.GLOBAL:
+        return False
+    md = getattr(config, "direct_threshold", 256)
+    g1p, g2p = plan.sub
+    if not (_sub_lane_ok(g1p, md) and _sub_lane_ok(g2p, md)):
+        return False
+    if g1p.n % 128 or g2p.n % 128:
+        return False
+    # the byte estimate is deliberately conservative (counts every stage
+    # temporary as live); allow 2x — Mosaic enforces the true VMEM bound
+    # at compile time and rejections are caught (autotune skips the
+    # variant, committed._run falls back)
+    return sq_est_bytes(plan, 1) <= 2 * config.vmem_bytes
+
+
+def global_sq_raw_call(
+    raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
+    precision=None, scale: float = 1.0, bt_override: int = 0,
+):
+    """PACKED interleaved raw (2·batch·n,) -> transformed raw, ONE pass.
+
+    Fuses the two engine passes through a VMEM transpose: deinterleave
+    (pass-1 style), lane-DFT over n1 (one widened matmul for DIRECT subs,
+    the two-stage kstack/Karatsuba pipeline for FUSED), dense twiddle
+    multiply, last-two-dims transpose, lane-DFT over n2, reinterleave
+    (pass-2 style, digit-reversal folded into the output rows).  Requires
+    the widened-matmul bf16 tables (fp32/x3 grade); other precisions fall
+    back to the two-pass engine."""
+    prec = _kernel_precision(precision)
+    if prec != "x3":
+        return None
+    g1p, g2p = plan.sub
+    g1, g2 = g1p.n, g2p.n
+    names1 = _sub_table_names_mm(g1p, sign, bank_keys)
+    names2 = _sub_table_names_mm(g2p, sign, bank_keys)
+    tw = bank_keys.get(("T", g1, g2, sign))
+    if names1 is None or names2 is None or tw is None:
+        return None
+
+    cap = 2 * config.vmem_bytes  # see global_sq_supported
+    bt = bt_override or 1
+    while bt > 1 and (batch % bt or sq_est_bytes(plan, bt) > cap):
+        bt //= 2
+    if batch % bt or sq_est_bytes(plan, bt) > cap:
+        return None
+
+    x3 = raw.reshape(batch, g1, 2 * g2)
+    in_spec = pl.BlockSpec(
+        (bt, g1, 2 * g2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (bt, g2, 2 * g1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    nt1, nt2 = len(names1), len(names2)
+    nf1 = 0 if g1p.level == Level.DIRECT else 2
+
+    def kern(x_ref, *rest):
+        tabs1 = rest[:nt1]
+        tabs2 = rest[nt1 : nt1 + nt2]
+        tw_r, tw_i = rest[nt1 + nt2], rest[nt1 + nt2 + 1]
+        o_ref = rest[nt1 + nt2 + 2]
+        s3, pr, pi, s2 = rest[nt1 + nt2 + 3 : nt1 + nt2 + 7]
+        fold1 = rest[nt1 + nt2 + 7 : nt1 + nt2 + 7 + nf1]
+        fold2 = rest[nt1 + nt2 + 7 + nf1 :]
+        for b in range(bt):
+            for j in range(g1 // 128):
+                sl = slice(j * 128, (j + 1) * 128)
+                s3[...] = x_ref[b, sl, :].T      # (2·g2, 128)
+                pr[b, :, sl] = s3[0::2, :]       # (g2, 128) = [n2, n1-sl]
+                pi[b, :, sl] = s3[1::2, :]
+        # stage A: lane-DFT over n1 -> [n2, k1] (natural k1 order)
+        ar, ai = _lane_dft(
+            pr[...].reshape(bt * g2, g1), pi[...].reshape(bt * g2, g1),
+            g1p, tabs1, prec, fold1, mm=True,
+        )
+        ar = ar.reshape(bt, g2, g1)
+        ai = ai.reshape(bt, g2, g1)
+        # inter-factor twiddle, bank layout (m=g2, f=g1) = [n2, k1]
+        ar, ai = xla_fft.complex_mul(ar, ai, tw_r[...], tw_i[...])
+        ar = jnp.swapaxes(ar, -2, -1)            # [k1, n2]
+        ai = jnp.swapaxes(ai, -2, -1)
+        # stage B: lane-DFT over n2 -> [k1, k2]
+        cr, ci = _lane_dft(
+            ar.reshape(bt * g1, g2), ai.reshape(bt * g1, g2),
+            g2p, tabs2, prec, fold2, mm=True,
+        )
+        cr = cr.reshape(bt, g1, g2)
+        ci = ci.reshape(bt, g1, g2)
+        if scale != 1.0:
+            cr = cr * scale
+            ci = ci * scale
+        _pf.dump("global_sq.out", cr)
+        for b in range(bt):
+            for j in range(g2 // 128):
+                sl = slice(j * 128, (j + 1) * 128)
+                s2[0::2, :] = cr[b][:, sl]       # (2·g1, 128)
+                s2[1::2, :] = ci[b][:, sl]
+                o_ref[b, sl, :] = s2[...].T      # (128, 2·g1) = [k2, 2k1+p]
+
+    tw_arrays = [bank[tw + "r"], bank[tw + "i"]]
+    tabs = [bank[nm] for nm in names1] + [bank[nm] for nm in names2]
+    out = pl.pallas_call(
+        kern,
+        grid=(batch // bt,),
+        in_specs=[in_spec] + [_const(t) for t in tabs + tw_arrays],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, g2, 2 * g1), raw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * g2, 128), raw.dtype),
+            pltpu.VMEM((bt, g2, g1), raw.dtype),
+            pltpu.VMEM((bt, g2, g1), raw.dtype),
+            pltpu.VMEM((2 * g1, 128), raw.dtype),
+        ]
+        + _fold_scratches(g1p, bt * g2, raw.dtype)
+        + _fold_scratches(g2p, bt * g1, raw.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * batch * plan.n
+            * ((sum(g1p.factors) or g1) + (sum(g2p.factors) or g2)),
+            bytes_accessed=2 * raw.shape[0] * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x3, *tabs, *tw_arrays)
+    return out.reshape(raw.shape[0])
+
+
 def global2_raw_supported(plan: Plan1D, max_direct: int = 256) -> bool:
     """Raw variant additionally needs 128 | G1 and 128 | G2 (the in-kernel
     de/interleave walks 128-lane tiles)."""

@@ -170,6 +170,18 @@ def _variants_for_entry(committed, entry) -> list[dict]:
                         out.append(
                             {"eng": 2, "t1": t1, "t2": t2, "mm": 0}
                         )
+        from .ops.pallas_global import global_sq_supported, sq_est_bytes
+
+        if global_sq_supported(plan, committed.config):
+            # single-pass square kernel (half the HBM traffic); the 2x
+            # margin matches global_sq_supported — Mosaic adjudicates the
+            # true VMEM bound, compile rejections are skipped above
+            for bt in (1, 2):
+                if (
+                    d.number_of_transforms % bt == 0
+                    and sq_est_bytes(plan, bt) <= 2 * vmem
+                ):
+                    out.append({"eng": 5, "bt": bt})
         if g3.global3_supported(plan, committed.config):
             fused1 = g1p.level != Level.DIRECT
             for t1 in g3.T1_CANDIDATES:

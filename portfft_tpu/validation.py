@@ -149,6 +149,18 @@ def _validate_strides_distance(desc) -> None:
     """Reference descriptor_validation.hpp:237-253."""
     fwd_lengths = desc.domain_lengths(Direction.FORWARD)
     bwd_lengths = desc.domain_lengths(Direction.BACKWARD)
+    if desc.placement == Placement.IN_PLACE and desc.domain == Domain.REAL:
+        # asymmetric domains share one buffer via the FFTW padded layout
+        # (validated in _validate_real_in_place); check each domain alone
+        _strides_distance_check(
+            fwd_lengths, desc.number_of_transforms, desc.forward_strides,
+            desc.forward_distance, "forward",
+        )
+        _strides_distance_check(
+            bwd_lengths, desc.number_of_transforms, desc.backward_strides,
+            desc.backward_distance, "backward",
+        )
+        return
     if desc.placement == Placement.IN_PLACE:
         if list(desc.forward_strides) != list(desc.backward_strides):
             raise InvalidConfiguration(
@@ -202,6 +214,44 @@ def _validate_layout(desc) -> None:
             )
 
 
+def _validate_real_in_place(desc) -> None:
+    """In-place R2C/C2R uses the FFTW padded layout: 1D, interleaved, unit
+    strides, real rows padded to ``2·(n/2+1)`` elements so the half spectrum
+    overwrites the same buffer (extension — the reference throws for REAL,
+    descriptor_validation.hpp:268-270; layout convention from FFTW's
+    in-place real-data transforms)."""
+    from .enums import ComplexStorage
+
+    h1 = desc.lengths[-1] // 2 + 1
+    if len(desc.lengths) != 1:
+        raise UnsupportedConfiguration(
+            "in-place REAL transforms are 1D only"
+        )
+    if desc.complex_storage != ComplexStorage.INTERLEAVED_COMPLEX:
+        raise UnsupportedConfiguration(
+            "in-place REAL transforms require INTERLEAVED_COMPLEX storage"
+        )
+    if list(desc.forward_strides) != [1] or list(desc.backward_strides) != [1]:
+        raise UnsupportedConfiguration(
+            "in-place REAL transforms require unit strides"
+        )
+    if desc.forward_distance != 2 * h1:
+        raise InvalidConfiguration(
+            "in-place REAL requires the FFTW padded forward distance "
+            f"2*(n/2+1) = {2 * h1}, got {desc.forward_distance}"
+        )
+    if desc.backward_distance != h1:
+        raise InvalidConfiguration(
+            "in-place REAL requires backward distance n/2+1 = "
+            f"{h1}, got {desc.backward_distance}"
+        )
+    if desc.forward_offset != 2 * desc.backward_offset:
+        raise InvalidConfiguration(
+            "in-place REAL offsets must address the same buffer position "
+            "(forward_offset == 2*backward_offset)"
+        )
+
+
 def validate_descriptor(desc) -> None:
     """Validate as much as possible at commit time
     (reference descriptor_validation.hpp:264-281).
@@ -211,15 +261,12 @@ def validate_descriptor(desc) -> None:
     out-of-place only, and even last dimension.
     """
     if desc.domain == Domain.REAL:
-        if desc.placement == Placement.IN_PLACE:
-            raise UnsupportedConfiguration(
-                "REAL domain transforms are out-of-place only (the real and "
-                "half-spectrum buffers have different element counts)"
-            )
         if desc.lengths and desc.lengths[-1] % 2:
             raise UnsupportedConfiguration(
                 "REAL domain transforms require an even last dimension"
             )
+        if desc.placement == Placement.IN_PLACE:
+            _validate_real_in_place(desc)
 
     if desc.number_of_transforms <= 0:
         raise InvalidConfiguration(

@@ -1,0 +1,69 @@
+"""The bench driver's round-robin group protocol (bench.bench_group).
+
+The attached chip's streaming rate drifts minute-to-minute, so the bench
+interleaves timing bursts across a group's configs instead of giving each
+config one contiguous window (reference protocol: launch_bench.hpp:50-145
+measures contiguously — the interleave is a deliberate deviation for a
+noisy shared chip; the per-config min over rounds keeps the metric).
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench
+
+
+def test_bench_group_round_robin_results():
+    configs = [("tiny16", 16, 8), ("tiny64", 64, 4)]
+    results, ceiling = bench.bench_group(configs, 819.0, None, 0.0)
+    assert set(results) == {"tiny16", "tiny64"}
+    for gflops, eff in results.values():
+        assert gflops > 0 and 0 < eff < 1
+    assert ceiling == 0.0
+
+
+def test_bench_group_samples_interleaved(monkeypatch):
+    order = []
+    real_sample = bench.sample_config
+
+    def spy(st):
+        order.append(st["name"])
+        real_sample(st)
+
+    monkeypatch.setattr(bench, "sample_config", spy)
+    bench.bench_group([("a16", 16, 4), ("b32", 32, 4)], 819.0, None, 0.0)
+    # rounds alternate configs: a, b, a, b, ... never a,a,a..b,b,b
+    assert order[: 2 * bench.SAMPLES] == ["a16", "b32"] * bench.SAMPLES
+
+
+def test_bench_group_rotate_falls_back_to_singleton_groups(monkeypatch):
+    prepared = []
+    real_prepare = bench.prepare_config
+
+    def spy(name, n, batch, rotate=0):
+        prepared.append((name, rotate))
+        return real_prepare(name, n, batch, rotate)
+
+    monkeypatch.setattr(bench, "prepare_config", spy)
+    results, _ = bench.bench_group(
+        [("a16", 16, 4), ("b32", 32, 4)], 819.0, None, 0.0, rotate=2
+    )
+    assert set(results) == {"a16", "b32"}
+    assert prepared == [("a16", 2), ("b32", 2)]
+
+
+def test_bench_group_survives_failing_config(monkeypatch):
+    real_prepare = bench.prepare_config
+
+    def boom(name, n, batch, rotate=0):
+        if name == "bad":
+            raise RuntimeError("no plan")
+        return real_prepare(name, n, batch, rotate)
+
+    monkeypatch.setattr(bench, "prepare_config", boom)
+    results, _ = bench.bench_group(
+        [("bad", 7, 3), ("a16", 16, 4)], 819.0, None, 0.0
+    )
+    assert set(results) == {"a16"}

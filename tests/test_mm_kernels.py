@@ -136,3 +136,74 @@ def test_global2_mm_override_parity():
         gc = got.view(np.complex64).reshape(batch, n)
         rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
         assert rel < 1e-4, (mm, rel)
+
+
+def test_global_sq_single_pass_parity():
+    """The single-pass square engine variant ({"eng": 5}) matches the
+    two-pass default within the x3 error floor, including the folded
+    scale, and declines shapes whose subs are not both DIRECT."""
+    from portfft_tpu import fastpath
+    from portfft_tpu.ops import pallas_global
+
+    n, batch = 65536, 4
+    plan = pfft.Descriptor(
+        lengths=[n], number_of_transforms=batch, forward_scale=0.5
+    ).commit(use_pallas=True)
+    p0 = plan.plans[n]
+    assert pallas_global.global_sq_supported(p0, plan.config)
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    assert entry is not None and entry[0] == "global2"
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    fn = fastpath.build_fn(
+        plan, Direction.FORWARD, entry, 2 * batch * n,
+        overrides={"eng": 5, "bt": 1},
+    )
+    got = np.asarray(fn(jnp.asarray(x), plan._bank_arrays))
+    ref = np.fft.fft(x.view(np.complex64).reshape(batch, n)) * 0.5
+    gc = got.view(np.complex64).reshape(batch, n)
+    rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+
+def test_global_sq_declines_oversized():
+    from portfft_tpu.config import DeviceConfig
+    from portfft_tpu.ops import pallas_global
+    from portfft_tpu.planner import plan_1d
+
+    cfg = DeviceConfig()
+    # 2^20's default split has a DIRECT-512 sub (not lane-solvable) and a
+    # working-set estimate far past the VMEM cap — must decline
+    p = plan_1d(1 << 20, cfg, 4)
+    assert not pallas_global.global_sq_supported(p, cfg)
+
+
+def test_global_sq_fused_sub_parity():
+    """The single-pass kernel on a GLOBAL plan whose g1 is FUSED [8, 128]
+    (the _lane_dft two-stage path) matches np.fft in interpret mode."""
+    from portfft_tpu.enums import Level
+    from portfft_tpu.ops import pallas_global
+    from portfft_tpu.planner import Plan1D, plan_1d
+
+    cfg = DeviceConfig(vmem_bytes=64 * 2**20)
+    n1, n2 = 1024, 128
+    n = n1 * n2
+    sub1, sub2 = plan_1d(n1, cfg, 4), plan_1d(n2, cfg, 4)
+    assert sub1.level == Level.FUSED and sub2.level == Level.DIRECT
+    plan = Plan1D(n=n, level=Level.GLOBAL, factors=[], sub=(sub1, sub2))
+    assert pallas_global.global_sq_supported(plan, cfg)
+
+    bank = xla_fft.TwiddleBank(np.float32)
+    keys = xla_fft.collect_bank_keys(plan, -1, bank)
+    arrs = bank.device_arrays()
+    batch = 2
+    rng = np.random.default_rng(7)
+    raw = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    out = pallas_global.global_sq_raw_call(
+        jnp.asarray(raw), batch, plan, -1, keys, arrs, cfg
+    )
+    assert out is not None
+    gc = np.asarray(out).view(np.complex64).reshape(batch, n)
+    ref = np.fft.fft(raw.view(np.complex64).reshape(batch, n))
+    rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel

@@ -125,9 +125,52 @@ def test_real_buffer_counts():
     assert d.backward_distance == 33
 
 
-def test_real_inplace_unsupported():
+@pytest.mark.parametrize("n", [64, 2048])
+def test_real_inplace_fftw_layout_roundtrip(n):
+    """In-place R2C/C2R with the FFTW padded layout (rows of 2·(n/2+1)
+    reals share the buffer with the half spectrum) — extension beyond the
+    reference (committed_descriptor.hpp:134-137 throws for REAL)."""
+    b = 3
+    h1 = n // 2 + 1
+    desc = make(n, number_of_transforms=b, placement=Placement.IN_PLACE)
+    assert desc.forward_distance == 2 * h1  # padded default
+    plan = desc.commit()
+    rng = np.random.Generator(np.random.SFC64(5))
+    x = rng.uniform(-1.0, 1.0, (b, n)).astype(np.float32)
+    buf = np.full((b, 2 * h1), -5.0, np.float32)
+    buf[:, :n] = x
+    spec = np.asarray(plan.compute_forward(buf.reshape(-1)))
+    got = spec.reshape(b, h1)
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    tol = 1e-4 * np.sqrt(n)
+    assert np.allclose(got, ref, atol=tol), np.abs(got - ref).max()
+    # backward: same buffer (complex view) -> padded real rows, /n scale
+    back = np.asarray(
+        plan.compute_backward(np.ascontiguousarray(spec).reshape(-1))
+    )
+    rows = back.reshape(b, 2 * h1)[:, :n] / n
+    assert np.allclose(rows, x, atol=tol), np.abs(rows - x).max()
+
+
+def test_real_inplace_bad_distance_raises():
+    with pytest.raises(InvalidConfiguration):
+        make(
+            64, placement=Placement.IN_PLACE, forward_distance=64
+        ).commit()
+
+
+def test_real_inplace_multidim_unsupported():
     with pytest.raises(UnsupportedConfiguration):
-        make(64, placement=Placement.IN_PLACE).commit()
+        make(lengths=[4, 64], placement=Placement.IN_PLACE).commit()
+
+
+def test_real_inplace_split_unsupported():
+    with pytest.raises(UnsupportedConfiguration):
+        make(
+            64,
+            placement=Placement.IN_PLACE,
+            complex_storage=ComplexStorage.SPLIT_COMPLEX,
+        ).commit()
 
 
 def test_real_odd_length_unsupported():

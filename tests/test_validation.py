@@ -19,10 +19,14 @@ def commit(**kw):
 
 def test_real_domain_restrictions():
     # REAL domain is supported here (extension beyond the reference, which
-    # throws unconditionally) — but only out-of-place with even last dim.
+    # throws unconditionally) — even last dim required; in-place takes the
+    # FFTW padded layout (1D + interleaved + padded distance only).
     commit(lengths=[8], domain=Domain.REAL)
+    commit(lengths=[8], domain=Domain.REAL, placement=Placement.IN_PLACE)
     with pytest.raises(UnsupportedConfiguration):
-        commit(lengths=[8], domain=Domain.REAL, placement=Placement.IN_PLACE)
+        commit(
+            lengths=[4, 8], domain=Domain.REAL, placement=Placement.IN_PLACE
+        )
     with pytest.raises(UnsupportedConfiguration):
         commit(lengths=[9], domain=Domain.REAL)
 

@@ -288,113 +288,131 @@ def bench_group(configs, hbm_gbps, ceiling_sample, ceiling, rotate=0):
     return results, ceiling
 
 
+def _time_round_robin(states, samples=3):
+    """Interleaved timing bursts over prepared extra-set states (same
+    rationale as bench_group: one slow chip minute must not land entirely
+    on one config)."""
+    for _ in range(samples):
+        for st in states:
+            if st.get("failed"):
+                continue
+            try:
+                y = st["y"]
+                _sync(y)
+                t0 = time.perf_counter()
+                for _ in range(RUNS_TO_AVERAGE):
+                    y = st["compute"](st["x"])
+                _sync(y)
+                st["times"].append(
+                    (time.perf_counter() - t0) / RUNS_TO_AVERAGE
+                )
+                st["y"] = y
+            except Exception as e:
+                print(f"  {st['name']}: FAILED {e}", file=sys.stderr)
+                st["failed"] = True
+    return [st for st in states if not st.get("failed") and st["times"]]
+
+
 def bench_extra(cfg):
-    """Extended sets: backward, Bluestein prime, real-domain (the
-    reference's planned sets)."""
+    """Extended sets: backward, Bluestein prime, strided, real-domain,
+    multi-dim (the reference's planned sets).  Each set is prepared up
+    front and timed round-robin."""
     import jax.numpy as jnp
 
     import portfft_tpu as pfft
     from portfft_tpu import Domain
 
     rng = np.random.default_rng(0)
-    for name, n, batch in EXTRA_CONFIGS:
-        try:
-            if "strided" in name:
-                desc = pfft.Descriptor(
-                    lengths=[n],
-                    number_of_transforms=batch,
-                    forward_strides=[2],
-                    forward_distance=2 * n,
-                    backward_strides=[1],
-                    backward_distance=n,
-                )
-                count = 2 * batch * 2 * n
-            else:
-                desc = pfft.Descriptor(
-                    lengths=[n], number_of_transforms=batch
-                )
-                count = 2 * batch * n
-            plan = desc.commit()
-            x = jnp.asarray(
-                rng.uniform(-1, 1, count).astype(np.float32)
-            )
-            compute = (
-                plan.compute_backward
-                if "backward" in name
-                else plan.compute_forward
-            )
-            y = compute(x)
-            _sync(y)
-            t0 = time.perf_counter()
-            for _ in range(RUNS_TO_AVERAGE):
-                y = compute(x)
-            _sync(y)
-            t = (time.perf_counter() - t0) / RUNS_TO_AVERAGE
-            gf = 5 * batch * n * math.log2(n) / t / 1e9
-            print(f"  {name:18s} N={n:<7d} {t*1e3:8.3f} ms {gf:9.1f} GFLOP/s",
-                  file=sys.stderr)
-        except Exception as e:
-            print(f"  {name}: FAILED {e}", file=sys.stderr)
-    for name, n, batch in REAL_CONFIGS:
-        try:
-            desc = pfft.Descriptor(
-                lengths=[n], number_of_transforms=batch, domain=Domain.REAL
-            )
-            plan = desc.commit()
-            x = jnp.asarray(rng.uniform(-1, 1, batch * n).astype(np.float32))
-            y = plan.compute_forward(x)
-            _sync(y)
-            t0 = time.perf_counter()
-            for _ in range(RUNS_TO_AVERAGE):
-                y = plan.compute_forward(x)
-            _sync(y)
-            t = (time.perf_counter() - t0) / RUNS_TO_AVERAGE
-            gf = 2.5 * batch * n * math.log2(n) / t / 1e9
-            print(f"  {name:18s} N={n:<7d} {t*1e3:8.3f} ms {gf:9.1f} GFLOP/s",
-                  file=sys.stderr)
-        except Exception as e:
-            print(f"  {name}: FAILED {e}", file=sys.stderr)
-    for name, lengths, batch in MULTIDIM_CONFIGS:
-        try:
-            desc = pfft.Descriptor(
-                lengths=list(lengths), number_of_transforms=batch
-            )
-            plan = desc.commit()
-            n = math.prod(lengths)
-            x = jnp.asarray(
-                rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
-            )
-            y = plan.compute_forward(x)
-            check_b = min(batch, 2)
-            got = (
-                np.asarray(y[: 2 * check_b * n])
-                .view(np.complex64)
-                .reshape(check_b, *lengths)
-            )
-            ref = np.fft.fftn(
-                np.asarray(x[: 2 * check_b * n])
-                .view(np.complex64)
-                .reshape(check_b, *lengths),
-                axes=tuple(range(1, 1 + len(lengths))),
-            )
-            rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
-            assert rel < 1e-2, rel
-            _sync(y)
-            t0 = time.perf_counter()
-            for _ in range(RUNS_TO_AVERAGE):
-                y = plan.compute_forward(x)
-            _sync(y)
-            t = (time.perf_counter() - t0) / RUNS_TO_AVERAGE
-            gf = 5 * batch * n * math.log2(n) / t / 1e9
-            gbps = batch * n * 16 / t / 1e9
+
+    def run_set(prepare, configs):
+        states = []
+        for item in configs:
+            name = item[0]
+            try:
+                states.append(prepare(*item))
+            except Exception as e:
+                print(f"  {name}: FAILED {e}", file=sys.stderr)
+        for st in _time_round_robin(states):
+            t = min(st["times"])
             print(
-                f"  {name:18s} {'x'.join(map(str, lengths)):12s} "
-                f"{t*1e3:8.3f} ms {gf:9.1f} GFLOP/s {gbps:7.1f} GB/s "
-                f"rel_err={rel:.1e}",
+                f"  {st['name']:18s} {st['label']:12s} {t*1e3:8.3f} ms "
+                f"{st['flops']/t/1e9:9.1f} GFLOP/s" + st["tail"](t),
                 file=sys.stderr,
             )
-        except Exception as e:
-            print(f"  {name}: FAILED {e}", file=sys.stderr)
+
+    def prep_extra(name, n, batch):
+        if "strided" in name:
+            desc = pfft.Descriptor(
+                lengths=[n],
+                number_of_transforms=batch,
+                forward_strides=[2],
+                forward_distance=2 * n,
+                backward_strides=[1],
+                backward_distance=n,
+            )
+            count = 2 * batch * 2 * n
+        else:
+            desc = pfft.Descriptor(lengths=[n], number_of_transforms=batch)
+            count = 2 * batch * n
+        plan = desc.commit()
+        x = jnp.asarray(rng.uniform(-1, 1, count).astype(np.float32))
+        compute = (
+            plan.compute_backward if "backward" in name
+            else plan.compute_forward
+        )
+        return {
+            "name": name, "label": f"N={n}", "compute": compute, "x": x,
+            "y": compute(x), "times": [],
+            "flops": 5 * batch * n * math.log2(n), "tail": lambda t: "",
+        }
+
+    def prep_real(name, n, batch):
+        desc = pfft.Descriptor(
+            lengths=[n], number_of_transforms=batch, domain=Domain.REAL
+        )
+        plan = desc.commit()
+        x = jnp.asarray(rng.uniform(-1, 1, batch * n).astype(np.float32))
+        return {
+            "name": name, "label": f"N={n}", "compute": plan.compute_forward,
+            "x": x, "y": plan.compute_forward(x), "times": [],
+            "flops": 2.5 * batch * n * math.log2(n), "tail": lambda t: "",
+        }
+
+    def prep_md(name, lengths, batch):
+        desc = pfft.Descriptor(
+            lengths=list(lengths), number_of_transforms=batch
+        )
+        plan = desc.commit()
+        n = math.prod(lengths)
+        x = jnp.asarray(rng.uniform(-1, 1, 2 * batch * n).astype(np.float32))
+        y = plan.compute_forward(x)
+        check_b = min(batch, 2)
+        got = (
+            np.asarray(y[: 2 * check_b * n])
+            .view(np.complex64)
+            .reshape(check_b, *lengths)
+        )
+        ref = np.fft.fftn(
+            np.asarray(x[: 2 * check_b * n])
+            .view(np.complex64)
+            .reshape(check_b, *lengths),
+            axes=tuple(range(1, 1 + len(lengths))),
+        )
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 1e-2, rel
+        gbytes = batch * n * 16 / 1e9
+        return {
+            "name": name, "label": "x".join(map(str, lengths)),
+            "compute": plan.compute_forward, "x": x, "y": y, "times": [],
+            "flops": 5 * batch * n * math.log2(n),
+            "tail": lambda t, g=gbytes, r=rel: (
+                f" {g/t:7.1f} GB/s rel_err={r:.1e}"
+            ),
+        }
+
+    run_set(prep_extra, EXTRA_CONFIGS)
+    run_set(prep_real, REAL_CONFIGS)
+    run_set(prep_md, MULTIDIM_CONFIGS)
 
 
 def main():

@@ -111,6 +111,18 @@ def main():
             9 * 2 * a * bt * 128 * 128,
         ),
         make_case(
+            "b_kara3d9",
+            lambda: [bf(a, bt, 128)] + [bf(128, 128) for _ in range(9)],
+            lambda xs: sum(_mm(xs[0], w) for w in xs[1:]),
+            9 * 2 * a * bt * 128 * 128,
+        ),
+        make_case(
+            "a_kstack_T",
+            lambda: [bf(L, 6 * a), bf(6 * a, 2 * a)],
+            lambda xs: _mm(xs[0], xs[1]),
+            2 * (2 * a) * (6 * a) * L,
+        ),
+        make_case(
             "sq_256x9",
             lambda: [bf(256, 256)] + [bf(256, 256) for _ in range(9)],
             lambda xs: sum(_mm(xs[0], w) for w in xs[1:]),

@@ -54,6 +54,25 @@ def test_bench_group_rotate_falls_back_to_singleton_groups(monkeypatch):
     assert prepared == [("a16", 2), ("b32", 2)]
 
 
+def test_bench_extra_round_robin(monkeypatch, capsys):
+    monkeypatch.setattr(
+        bench, "EXTRA_CONFIGS",
+        [("backward_tiny", 64, 4), ("strided_tiny", 64, 4)],
+    )
+    monkeypatch.setattr(bench, "REAL_CONFIGS", [("real_tiny", 32, 4)])
+    monkeypatch.setattr(bench, "MULTIDIM_CONFIGS", [("md_8x16", [8, 16], 2)])
+    monkeypatch.setattr(bench, "RUNS_TO_AVERAGE", 2)
+
+    class Cfg:
+        hbm_gbps = 100.0
+
+    bench.bench_extra(Cfg())
+    err = capsys.readouterr().err
+    for name in ("backward_tiny", "strided_tiny", "real_tiny", "md_8x16"):
+        assert name in err, err
+    assert "FAILED" not in err, err
+
+
 def test_bench_group_survives_failing_config(monkeypatch):
     real_prepare = bench.prepare_config
 

@@ -178,6 +178,37 @@ def test_global_sq_declines_oversized():
     assert not pallas_global.global_sq_supported(p, cfg)
 
 
+def test_global_sq_distinct_direct_subs_parity():
+    """512x256 (the default 2^17 split): two DIFFERENT DIRECT table sets
+    (names1 != names2 indexing) through the single-pass kernel."""
+    from portfft_tpu.enums import Level
+    from portfft_tpu.ops import pallas_global
+    from portfft_tpu.planner import plan_1d
+
+    cfg = DeviceConfig(vmem_bytes=64 * 2**20)
+    n = 1 << 17
+    plan = plan_1d(n, cfg, 4)
+    assert plan.level == Level.GLOBAL
+    g1p, g2p = plan.sub
+    assert (g1p.n, g2p.n) == (512, 256)
+    assert pallas_global.global_sq_supported(plan, cfg)
+
+    bank = xla_fft.TwiddleBank(np.float32)
+    keys = xla_fft.collect_bank_keys(plan, -1, bank)
+    arrs = bank.device_arrays()
+    batch = 1
+    rng = np.random.default_rng(13)
+    raw = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    out = pallas_global.global_sq_raw_call(
+        jnp.asarray(raw), batch, plan, -1, keys, arrs, cfg, scale=2.0
+    )
+    assert out is not None
+    gc = np.asarray(out).view(np.complex64).reshape(batch, n)
+    ref = np.fft.fft(raw.view(np.complex64).reshape(batch, n)) * 2.0
+    rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+
 def test_global_sq_fused_sub_parity():
     """The single-pass kernel on a GLOBAL plan whose g1 is FUSED [8, 128]
     (the _lane_dft two-stage path) matches np.fft in interpret mode."""

@@ -567,7 +567,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
             res = pallas_fft.fused2_raw_mm_call(
                 raw, batch, plan0, [bank[nm] for nm in names_mm],
                 committed.config, committed.matmul_precision,
-                bt_override=bt,
+                bt_override=bt, flat=bool(overrides.get("flat")),
             )
         if res is None:
             res = pallas_fft.fused2_raw_v2_call(

@@ -696,13 +696,18 @@ def kstack_dft_left(xr2, xi2, sa_ref, f: int):
     return y[:f], y[f:]
 
 
-def _fused2_raw_mm_kernel(a: int, bt: int, g: int):
+def _fused2_raw_mm_kernel(a: int, bt: int, g: int, flat: bool = False):
     """The v2 layout-L kernel with the measured matmul-bound fix
     (probe_fused2_parts / probe_fused2_mm, 2026-08-17): stage A as the
     one-matmul K/M-stack, stage B as Karatsuba with presplit bf16
     tables.  Same I/O structure and restack as _fused2_raw_v2_kernel;
     scale is folded into the stage-B tables.  N=4096 b=32768 measured
-    171-179 → 209 GB/s (bt=32)."""
+    171-179 → 209 GB/s (bt=32).
+
+    ``flat``: run stage B on the (a·bt, 128) 2D view instead of the
+    (a, bt, 128) batched-3D contraction — a-many M=bt matmuls become one
+    M=a·bt matmul per Karatsuba term, which the MXU pipelines without
+    per-slice drain (autotuner variant {"flat": 1})."""
 
     def kernel(x_ref, sa, tr, ti, q1, q2, q3, q4, q5, q6,
                o_ref, pr, pi, s3, s2):
@@ -725,7 +730,15 @@ def _fused2_raw_mm_kernel(a: int, bt: int, g: int):
         ar3, ai3 = xla_fft.complex_mul(
             ar3, ai3, tr[...].reshape(a, 1, 128), ti[...].reshape(a, 1, 128)
         )
-        cr, ci = kara_matmul_last(ar3, ai3, (q1, q2, q3, q4, q5, q6))
+        if flat:
+            cr, ci = kara_matmul_last(
+                ar3.reshape(a * bt, 128), ai3.reshape(a * bt, 128),
+                (q1, q2, q3, q4, q5, q6),
+            )
+            cr = cr.reshape(a, bt, 128)
+            ci = ci.reshape(a, bt, 128)
+        else:
+            cr, ci = kara_matmul_last(ar3, ai3, (q1, q2, q3, q4, q5, q6))
         if g == 1:
             s2[0::2] = cr
             s2[1::2] = ci
@@ -745,7 +758,7 @@ def _fused2_raw_mm_kernel(a: int, bt: int, g: int):
 
 def fused2_raw_mm_call(
     raw, batch, plan, tables_mm, config, precision=None,
-    bt_override: int | None = None,
+    bt_override: int | None = None, flat: bool = False,
 ):
     """tables_mm = [SA, U_r, U_i, Q1..Q6] (dft_kstack + twiddle_fm +
     mat_kara of the fold-permuted W128, scale folded into Q).  Only valid
@@ -776,7 +789,7 @@ def fused2_raw_mm_call(
     blk = 2 * bt * a
     spec = pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _fused2_raw_mm_kernel(a, bt, g),
+        _fused2_raw_mm_kernel(a, bt, g, flat),
         grid=(batch // bt,),
         in_specs=[spec] + [_const_spec(t) for t in tables_mm],
         out_specs=spec,

@@ -138,6 +138,7 @@ def _variants_for_entry(committed, entry) -> list[dict]:
                 continue
             if (bt * a) % 128 == 0:
                 out.append({"eng": 4, "bt": bt})
+                out.append({"eng": 4, "bt": bt, "flat": 1})
                 out.append({"eng": 2, "bt": bt})
             if (bt * a) % 8 == 0:
                 out.append({"eng": 3, "bt": bt})

@@ -63,6 +63,26 @@ def test_fused2_mm_kernel(n, batch, sign, scale):
     assert rel < 1e-4, rel
 
 
+@pytest.mark.parametrize("n,batch", [(1024, 16), (4096, 4)])
+def test_fused2_mm_flat_stage_b_parity(n, batch):
+    """The flat={"flat": 1} variant (stage-B Karatsuba on the (a·bt, 128)
+    2D view instead of a-many M=bt batched matmuls) is numerically
+    identical to the batched form."""
+    plan = plan_1d(n, CFG, 4)
+    a = plan.factors[0]
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    tables = _mm_tables(a, -1)
+    got = pallas_fft.fused2_raw_mm_call(
+        jnp.asarray(x), batch, plan, tables, CFG, flat=True
+    )
+    assert got is not None
+    gc = np.asarray(got).view(np.complex64).reshape(batch, n)
+    ref = np.fft.fft(x.view(np.complex64).reshape(batch, n))
+    rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+
 def test_fused2_mm_declines_highest_precision():
     plan = plan_1d(4096, CFG, 4)
     a = plan.factors[0]

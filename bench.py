@@ -216,7 +216,8 @@ def prepare_config(name, n, batch, rotate=0):
     if not rel < 1e-2:
         raise AssertionError(f"{name}: verification failed, rel={rel}")
     return {
-        "name": name, "n": n, "batch": batch, "plan": plan,
+        "name": name, "n": n, "batch": batch,
+        "compute": plan.compute_forward,
         "inputs": inputs, "y": y, "rel": rel, "times": [],
     }
 
@@ -224,14 +225,31 @@ def prepare_config(name, n, batch, rotate=0):
 def sample_config(st):
     """One timing burst (RUNS_TO_AVERAGE computes) for a prepared config."""
     y = st["y"]
-    plan, inputs = st["plan"], st["inputs"]
+    compute, inputs = st["compute"], st["inputs"]
     _sync(y)
     t0 = time.perf_counter()
     for it in range(RUNS_TO_AVERAGE):
-        y = plan.compute_forward(inputs[it % len(inputs)])
+        y = compute(inputs[it % len(inputs)])
     _sync(y)
     st["times"].append((time.perf_counter() - t0) / RUNS_TO_AVERAGE)
     st["y"] = y
+
+
+def sample_states(states, samples, on_round=None):
+    """``samples`` interleaved rounds of sample_config over ``states``;
+    failures mark the state and drop it.  Returns the surviving states."""
+    for _ in range(samples):
+        if on_round is not None:
+            on_round()
+        for st in states:
+            if st.get("failed"):
+                continue
+            try:
+                sample_config(st)
+            except Exception as exc:
+                print(f"  {st['name']}: FAILED {exc}", file=sys.stderr)
+                st["failed"] = True
+    return [st for st in states if not st.get("failed") and st["times"]]
 
 
 def report_config(st, hbm_gbps, ceiling_gbps=None):
@@ -254,63 +272,54 @@ def report_config(st, hbm_gbps, ceiling_gbps=None):
     return gflops, eff
 
 
+GROUP_BUDGET_BYTES = 7 << 30  # resident buffers per round-robin group
+
+
+def _chunk_by_budget(configs, rotate):
+    """Split configs into groups whose resident device bytes (inputs +
+    output + engine intermediates, ~3 buffers per config, more with
+    --rotate) fit GROUP_BUDGET_BYTES, preserving order."""
+    groups, cur, cur_bytes = [], [], 0
+    for item in configs:
+        n, batch = item[1], item[2]
+        est = 2 * batch * n * 4 * (max(1, rotate) + 2)
+        if cur and cur_bytes + est > GROUP_BUDGET_BYTES:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(item)
+        cur_bytes += est
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def bench_group(configs, hbm_gbps, ceiling_sample, ceiling, rotate=0):
-    """Bench a group of configs with timing bursts interleaved round-robin
-    across the group (SAMPLES rounds, per-config min): the chip's streaming
-    rate drifts minute-to-minute, so contiguous per-config timing windows
-    conflate config quality with chip weather (same protocol the autotuner
-    uses).  All group buffers stay device-resident, so groups are sized to
-    fit HBM; --rotate multiplies input buffers and falls back to
-    one-config groups.
+    """Bench configs with timing bursts interleaved round-robin within
+    HBM-budget-sized groups (SAMPLES rounds, per-config min): the chip's
+    streaming rate drifts minute-to-minute, so contiguous per-config
+    timing windows conflate config quality with chip weather (same
+    protocol the autotuner uses).  A group's buffers stay device-resident,
+    so groups are chunked to GROUP_BUDGET_BYTES (--rotate multiplies the
+    input buffers and shrinks groups accordingly).
 
     Returns (results, ceiling): results maps name -> (gflops, eff)."""
-    group_size = 1 if rotate else len(configs)
     results = {}
-    for lo in range(0, len(configs), group_size):
+    ceil_box = [ceiling]
+    for group in _chunk_by_budget(configs, rotate):
         states = []
-        for name, n, batch in configs[lo : lo + group_size]:
+        for name, n, batch in group:
             try:
                 states.append(prepare_config(name, n, batch, rotate))
             except Exception as exc:
                 print(f"  {name}: FAILED {exc}", file=sys.stderr)
-        for _ in range(SAMPLES):
+
+        def resample():
             if ceiling_sample is not None:
-                ceiling = max(ceiling, ceiling_sample())
-            for st in states:
-                try:
-                    sample_config(st)
-                except Exception as exc:
-                    print(f"  {st['name']}: FAILED {exc}", file=sys.stderr)
-                    st["failed"] = True
-            states = [st for st in states if not st.get("failed")]
-        for st in states:
-            results[st["name"]] = report_config(st, hbm_gbps, ceiling)
-    return results, ceiling
+                ceil_box[0] = max(ceil_box[0], ceiling_sample())
 
-
-def _time_round_robin(states, samples=3):
-    """Interleaved timing bursts over prepared extra-set states (same
-    rationale as bench_group: one slow chip minute must not land entirely
-    on one config)."""
-    for _ in range(samples):
-        for st in states:
-            if st.get("failed"):
-                continue
-            try:
-                y = st["y"]
-                _sync(y)
-                t0 = time.perf_counter()
-                for _ in range(RUNS_TO_AVERAGE):
-                    y = st["compute"](st["x"])
-                _sync(y)
-                st["times"].append(
-                    (time.perf_counter() - t0) / RUNS_TO_AVERAGE
-                )
-                st["y"] = y
-            except Exception as e:
-                print(f"  {st['name']}: FAILED {e}", file=sys.stderr)
-                st["failed"] = True
-    return [st for st in states if not st.get("failed") and st["times"]]
+        for st in sample_states(states, SAMPLES, on_round=resample):
+            results[st["name"]] = report_config(st, hbm_gbps, ceil_box[0])
+    return results, ceil_box[0]
 
 
 def bench_extra(cfg):
@@ -332,7 +341,7 @@ def bench_extra(cfg):
                 states.append(prepare(*item))
             except Exception as e:
                 print(f"  {name}: FAILED {e}", file=sys.stderr)
-        for st in _time_round_robin(states):
+        for st in sample_states(states, samples=3):
             t = min(st["times"])
             print(
                 f"  {st['name']:18s} {st['label']:12s} {t*1e3:8.3f} ms "
@@ -361,7 +370,7 @@ def bench_extra(cfg):
             else plan.compute_forward
         )
         return {
-            "name": name, "label": f"N={n}", "compute": compute, "x": x,
+            "name": name, "label": f"N={n}", "compute": compute, "inputs": [x],
             "y": compute(x), "times": [],
             "flops": 5 * batch * n * math.log2(n), "tail": lambda t: "",
         }
@@ -374,7 +383,7 @@ def bench_extra(cfg):
         x = jnp.asarray(rng.uniform(-1, 1, batch * n).astype(np.float32))
         return {
             "name": name, "label": f"N={n}", "compute": plan.compute_forward,
-            "x": x, "y": plan.compute_forward(x), "times": [],
+            "inputs": [x], "y": plan.compute_forward(x), "times": [],
             "flops": 2.5 * batch * n * math.log2(n), "tail": lambda t: "",
         }
 
@@ -403,7 +412,7 @@ def bench_extra(cfg):
         gbytes = batch * n * 16 / 1e9
         return {
             "name": name, "label": "x".join(map(str, lengths)),
-            "compute": plan.compute_forward, "x": x, "y": y, "times": [],
+            "compute": plan.compute_forward, "inputs": [x], "y": y, "times": [],
             "flops": 5 * batch * n * math.log2(n),
             "tail": lambda t, g=gbytes, r=rel: (
                 f" {g/t:7.1f} GB/s rel_err={r:.1e}"

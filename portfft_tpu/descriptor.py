@@ -189,13 +189,31 @@ class Descriptor:
     def get_input_count(self, direction: Direction) -> int:
         """Required element count of the input buffer for ``direction``
         (descriptor.hpp:172-174).  Complex elements for complex-domain
-        buffers, real elements for the real domain of an R2C transform."""
-        return self._buffer_count(
+        buffers, real elements for the real domain of an R2C transform.
+
+        In-place REAL shares one padded buffer between both domains (the
+        FFTW layout), so the count covers whichever domain needs more —
+        the half spectrum fills every padded row completely, two real
+        elements past the last real sample of the last row."""
+        from .enums import Placement, inv
+
+        count = self._buffer_count(
             self.domain_lengths(direction),
             self.get_strides(direction),
             self.get_distance(direction),
             self.get_offset(direction),
         )
+        if self.domain == Domain.REAL and self.placement == Placement.IN_PLACE:
+            other = self._buffer_count(
+                self.domain_lengths(inv(direction)),
+                self.get_strides(inv(direction)),
+                self.get_distance(inv(direction)),
+                self.get_offset(inv(direction)),
+            )
+            if direction == Direction.FORWARD:
+                return max(count, 2 * other)  # real units
+            return max(count, (other + 1) // 2)  # complex units
+        return count
 
     def get_output_count(self, direction: Direction) -> int:
         """Required element count of the output buffer for ``direction``

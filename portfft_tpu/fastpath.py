@@ -506,29 +506,29 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         ftw = bool(overrides.get("ftw"))
         mm_o = overrides.get("mm")  # None = default-on at x3 precision
 
-        if eng == 5 and pallas_global.global_sq_supported(
+        sq_ok = eng == 5 and pallas_global.global_sq_supported(
             plan0, committed.config
-        ):
-            bt5 = overrides.get("bt", 0)
+        )
+        bt5 = overrides.get("bt", 0)
 
-            def fn5(raw, bank):
+        def fn(raw, bank):
+            res = None
+            if sq_ok:
                 res = pallas_global.global_sq_raw_call(
                     raw, batch, plan0, sign, keys, bank, committed.config,
                     committed.matmul_precision, scale, bt_override=bt5,
                 )
-                if res is None:
-                    raise RawFastUnavailable()
-                return res
-
-            return fn5
-
-        def fn(raw, bank):
-            res = pallas_global.global2_raw_call(
-                raw, batch, plan0, sign, keys, bank, committed.config,
-                committed.matmul_precision, scale,
-                t1 if eng == 2 else 0, t2 if eng == 2 else 0, use_ftw=ftw,
-                use_mm=None if mm_o is None else bool(mm_o),
-            )
+            if res is None:
+                # eng 5 declined (non-x3 precision / missing bf16 tables /
+                # working set): the two-pass engine handles those cases —
+                # a tuned {"eng": 5} must not disable the raw path
+                res = pallas_global.global2_raw_call(
+                    raw, batch, plan0, sign, keys, bank, committed.config,
+                    committed.matmul_precision, scale,
+                    t1 if eng == 2 else 0, t2 if eng == 2 else 0,
+                    use_ftw=ftw,
+                    use_mm=None if mm_o is None else bool(mm_o),
+                )
             if res is None:  # no viable pass tiling for this shape
                 raise RawFastUnavailable()
             return res

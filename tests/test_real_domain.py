@@ -152,6 +152,23 @@ def test_real_inplace_fftw_layout_roundtrip(n):
     assert np.allclose(rows, x, atol=tol), np.abs(rows - x).max()
 
 
+def test_real_inplace_buffer_counts_cover_both_domains():
+    """get_input_count must size the SHARED padded buffer: the half
+    spectrum fills every padded row completely (two reals past the last
+    real sample of the last row), so a buffer sized by the forward count
+    alone would be 2 elements short."""
+    n, b = 64, 3
+    h1 = n // 2 + 1
+    desc = make(n, number_of_transforms=b, placement=Placement.IN_PLACE)
+    assert desc.get_input_count(Direction.FORWARD) == 2 * b * h1
+    assert desc.get_output_count(Direction.BACKWARD) == 2 * b * h1
+    assert desc.get_input_count(Direction.BACKWARD) == b * h1
+    # a buffer of exactly get_input_count(FORWARD) reals passes compute
+    plan = desc.commit()
+    buf = np.zeros(desc.get_input_count(Direction.FORWARD), np.float32)
+    plan.compute_forward(buf)
+
+
 def test_real_inplace_bad_distance_raises():
     with pytest.raises(InvalidConfiguration):
         make(

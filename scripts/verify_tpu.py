@@ -177,6 +177,64 @@ def _(log):
     _assert_close(np.asarray(back) / n, x, n, "c2r")
 
 
+@check("in-place REAL FFTW padded layout (N=2048)")
+def _(log):
+    n, b = 2048, 4
+    h1 = n // 2 + 1
+    plan = Descriptor(
+        lengths=[n], number_of_transforms=b, domain=Domain.REAL,
+        placement=Placement.IN_PLACE,
+    ).commit()
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    buf = np.full((b, 2 * h1), -5.0, np.float32)
+    buf[:, :n] = x
+    spec = np.asarray(plan.compute_forward(buf.reshape(-1)))
+    ref = np.fft.rfft(x, axis=1)
+    _assert_close(
+        spec.reshape(b, h1).reshape(-1), ref.reshape(-1), n, "ip r2c"
+    )
+    back = np.asarray(
+        plan.compute_backward(np.ascontiguousarray(spec).reshape(-1))
+    )
+    rows = back.reshape(b, 2 * h1)[:, :n] / n
+    _assert_close(rows.reshape(-1), x.reshape(-1), n, "ip c2r")
+
+
+@check("single-pass GLOBAL variant eng=5 (N=65536)")
+def _(log):
+    from portfft_tpu import fastpath
+    from portfft_tpu.enums import Direction
+    from portfft_tpu.ops import pallas_global
+
+    import jax.numpy as jnp
+
+    n, b = 65536, 4
+    plan = Descriptor(lengths=[n], number_of_transforms=b).commit()
+    p0 = plan.plans[n]
+    if not pallas_global.global_sq_supported(p0, plan.config):
+        log("declined (split not lane-solvable) — skipping")
+        return
+    import jax
+
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    if entry is None and jax.default_backend() != "tpu":
+        log("no raw fast path off-TPU — skipping")
+        return
+    assert entry is not None and entry[0] == "global2", entry
+    fn = fastpath.build_fn(
+        plan, Direction.FORWARD, entry, 2 * b * n,
+        overrides={"eng": 5, "bt": 1},
+    )
+    x = _rand(b * n, 10)
+    xr = np.ascontiguousarray(x.view(np.float32))
+    got = np.asarray(fn(jnp.asarray(xr), plan._bank_arrays)).view(
+        np.complex64
+    )
+    ref = np.fft.fft(x.reshape(b, n), axis=1).reshape(-1)
+    _assert_close(got, ref, n, "eng5")
+
+
 @check("BATCH_INTERLEAVED layout (N=128)")
 def _(log):
     n, b = 128, 1024

@@ -83,9 +83,10 @@ def main():
 
 if __name__ == "__main__":
     good = main()
-    print("---- square-kernel probe ----", flush=True)
-    import importlib
+    if "--with-probe" in sys.argv:
+        print("---- square-kernel probe ----", flush=True)
+        import importlib
 
-    probe = importlib.import_module("scripts.probe_sq65536")
-    probe.main()
+        probe = importlib.import_module("scripts.probe_sq65536")
+        probe.main()
     sys.exit(0 if good else 1)

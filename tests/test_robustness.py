@@ -23,6 +23,24 @@ def test_batch_chunking_matches_oracle():
     oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
 
 
+def test_batch_chunking_at_global_size():
+    """The lax.map chunking path on a GLOBAL-level plan (two-pass engine
+    intermediates inside the mapped body) — round-2 review flagged that
+    the weakest paths had the thinnest tests."""
+    n = 65536
+    desc = Descriptor(lengths=[n], number_of_transforms=4)
+    plan = desc.commit()
+    plan._raw_fast.clear()  # force the plane executor (the chunked path)
+    plan.config = dataclasses.replace(
+        plan.config, hbm_chunk_bytes=2 * 16 * 4 * n
+    )
+    x = oracle.gen_input(desc, 5)
+    ref = oracle.reference_output(desc, x, Direction.FORWARD)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
+
+
 def test_chunking_skips_non_divisible_batches():
     desc = Descriptor(lengths=[256], number_of_transforms=7)
     plan = desc.commit()

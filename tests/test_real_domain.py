@@ -152,6 +152,25 @@ def test_real_inplace_fftw_layout_roundtrip(n):
     assert np.allclose(rows, x, atol=tol), np.abs(rows - x).max()
 
 
+def test_real_inplace_fp64_native():
+    """fp64 (native on the CPU backend) through the in-place padded
+    layout — reference runs its whole suite in double (fft_double.cpp)."""
+    n, b = 256, 2
+    h1 = n // 2 + 1
+    plan = make(
+        n, number_of_transforms=b, placement=Placement.IN_PLACE,
+        precision=np.float64,
+    ).commit()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((b, n))
+    buf = np.zeros((b, 2 * h1))
+    buf[:, :n] = x
+    spec = np.asarray(plan.compute_forward(buf.reshape(-1))).reshape(b, h1)
+    ref = np.fft.rfft(x, axis=1)
+    rel = np.linalg.norm(spec - ref) / np.linalg.norm(ref)
+    assert rel < 1e-13, rel
+
+
 def test_real_inplace_buffer_counts_cover_both_domains():
     """get_input_count must size the SHARED padded buffer: the half
     spectrum fills every padded row completely (two reals past the last

@@ -130,9 +130,24 @@ class CommittedDescriptor:
                 from .enums import Domain as _D
 
                 if descriptor.domain == _D.REAL:
-                    raise UnsupportedConfiguration(
-                        "emulated fp64 supports the COMPLEX domain"
-                    )
+                    # REAL rides the COMPLEX df64 core (zero-imaginary
+                    # forward / Hermitian-extended backward); supported
+                    # envelope is the plain case
+                    if (
+                        len(descriptor.lengths) != 1
+                        or descriptor.placement == Placement.IN_PLACE
+                        or descriptor.complex_storage
+                        == ComplexStorage.SPLIT_COMPLEX
+                        or get_layout(descriptor, Direction.FORWARD)
+                        != Layout.PACKED
+                        or get_layout(descriptor, Direction.BACKWARD)
+                        != Layout.PACKED
+                    ):
+                        raise UnsupportedConfiguration(
+                            "emulated fp64 REAL supports 1D out-of-place "
+                            "INTERLEAVED transforms in the default PACKED "
+                            "layout"
+                        )
                 from .ops import df64 as _df64mod
 
                 for ln in set(descriptor.lengths):
@@ -960,6 +975,69 @@ class CommittedDescriptor:
         idx = self._indices(direction)
         return re[idx], im[idx]
 
+    def _compute_df64_real(self, direction, x, x_imag, out):
+        """R2C/C2R under the double-double emulation: the real transform
+        rides the COMPLEX df64 core — zero-imaginary forward, Hermitian-
+        extended backward — at the same ~2^-48 effective precision.
+        Envelope (validated at commit): 1D, out-of-place, INTERLEAVED
+        storage, default PACKED layout.  Extension beyond the reference
+        (committed_descriptor.hpp:134-137 throws for REAL)."""
+        from .ops import df64 as _df64mod
+
+        d = self.descriptor
+        n = d.lengths[-1]
+        h1 = n // 2 + 1
+        b = d.number_of_transforms
+        if x_imag is not None:
+            raise InvalidConfiguration(
+                "REAL df64 input is a single buffer"
+            )
+        if out is not None:
+            raise UnsupportedConfiguration(
+                "out= is not supported on the df64 REAL path"
+            )
+        if direction == Direction.FORWARD:
+            xr = np.asarray(x, np.float64).reshape(-1)
+            if xr.shape[0] < b * n:
+                raise InvalidConfiguration(
+                    f"input buffer needs {b * n} real elements"
+                )
+            xr = np.ascontiguousarray(xr[: b * n].reshape(b, n))
+            xi = np.zeros_like(xr)
+        else:
+            z = np.asarray(x)
+            if np.iscomplexobj(z):
+                flat = np.ascontiguousarray(z).view(np.float64).reshape(-1)
+            else:
+                flat = np.asarray(z, np.float64).reshape(-1)
+            if flat.shape[0] < 2 * b * h1:
+                raise InvalidConfiguration(
+                    f"input buffer needs {b * h1} complex elements"
+                )
+            zr = flat[0::2][: b * h1].reshape(b, h1)
+            zi = flat[1::2][: b * h1].reshape(b, h1)
+            # Hermitian extension X[n-k] = conj(X[k]), k = 1..n/2-1
+            xr = np.concatenate([zr, zr[:, 1 : n - h1 + 1][:, ::-1]], axis=1)
+            xi = np.concatenate(
+                [zi, -zi[:, 1 : n - h1 + 1][:, ::-1]], axis=1
+            )
+        rh, rl = _df64mod.split_f64(xr)
+        ih, il = _df64mod.split_f64(xi)
+        key = ("df64real", direction, xr.shape)
+        fn = self._get_compiled(key, lambda: self._df64_core(direction), ())
+        (yrh, yrl), (yih, yil) = fn(
+            jnp.asarray(rh), jnp.asarray(rl), jnp.asarray(ih),
+            jnp.asarray(il), self._df64_bank,
+        )
+        yr = _df64mod.join_f64(np.asarray(yrh), np.asarray(yrl))
+        if direction == Direction.FORWARD:
+            yi = _df64mod.join_f64(np.asarray(yih), np.asarray(yil))
+            o = np.empty((b, h1), np.complex128)
+            o.real = yr[:, :h1]
+            o.imag = yi[:, :h1]
+            return o.reshape(-1)
+        return np.ascontiguousarray(yr).reshape(-1)
+
     def _compute_df64(self, direction, x, x_imag, out, out_imag):
         """Out-of-core host canonicalization around the jitted df64 core:
         gather/scatter and hi/lo splitting run in numpy (this path is
@@ -969,9 +1047,7 @@ class CommittedDescriptor:
 
         d = self.descriptor
         if d.domain == Domain.REAL:
-            raise UnsupportedConfiguration(
-                "emulated fp64 supports the COMPLEX domain"
-            )
+            return self._compute_df64_real(direction, x, x_imag, out)
         split_store = d.complex_storage == ComplexStorage.SPLIT_COMPLEX
         if split_store:
             if x_imag is None:

@@ -193,3 +193,43 @@ def test_df64_4096_batch256():
     ref = np.fft.fft(x)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 1e-13, rel
+
+
+def test_df64_real_domain_roundtrip():
+    """R2C/C2R on the df64 path (zero-imaginary forward / Hermitian-
+    extended backward through the COMPLEX core)."""
+    from portfft_tpu import Domain
+
+    n, b = 256, 2
+    h1 = n // 2 + 1
+    desc = Descriptor(
+        lengths=[n], number_of_transforms=b, domain=Domain.REAL,
+        precision="float64",
+    )
+    plan = desc.commit(emulate_fp64=True)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((b, n))
+    spec = np.asarray(plan.compute_forward(x.reshape(-1))).reshape(b, h1)
+    ref = np.fft.rfft(x, axis=1)
+    rel = np.linalg.norm(spec - ref) / np.linalg.norm(ref)
+    assert rel < 1e-13, rel
+    back = np.asarray(plan.compute_backward(spec.reshape(-1))).reshape(b, n)
+    rel2 = np.linalg.norm(back / n - x) / np.linalg.norm(x)
+    assert rel2 < 1e-13, rel2
+
+
+def test_df64_real_unsupported_shapes():
+    from portfft_tpu import Domain, Placement
+    from portfft_tpu.exceptions import UnsupportedConfiguration
+    import pytest
+
+    with pytest.raises(UnsupportedConfiguration):
+        Descriptor(
+            lengths=[8, 64], number_of_transforms=1, domain=Domain.REAL,
+            precision="float64",
+        ).commit(emulate_fp64=True)
+    with pytest.raises(UnsupportedConfiguration):
+        Descriptor(
+            lengths=[64], number_of_transforms=1, domain=Domain.REAL,
+            placement=Placement.IN_PLACE, precision="float64",
+        ).commit(emulate_fp64=True)

@@ -705,12 +705,14 @@ def global_sq_raw_call(
     out_spec = pl.BlockSpec(
         (bt, g2, 2 * g1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    nt1, nt2 = len(names1), len(names2)
+    shared = names2 == names1  # same sub: one resident table set
+    nt1 = len(names1)
+    nt2 = 0 if shared else len(names2)
     nf1 = 0 if g1p.level == Level.DIRECT else 2
 
     def kern(x_ref, *rest):
         tabs1 = rest[:nt1]
-        tabs2 = rest[nt1 : nt1 + nt2]
+        tabs2 = tabs1 if shared else rest[nt1 : nt1 + nt2]
         tw_r, tw_i = rest[nt1 + nt2], rest[nt1 + nt2 + 1]
         o_ref = rest[nt1 + nt2 + 2]
         s3, pr, pi, s2 = rest[nt1 + nt2 + 3 : nt1 + nt2 + 7]
@@ -752,7 +754,9 @@ def global_sq_raw_call(
                 o_ref[b, sl, :] = s2[...].T      # (128, 2·g1) = [k2, 2k1+p]
 
     tw_arrays = [bank[tw + "r"], bank[tw + "i"]]
-    tabs = [bank[nm] for nm in names1] + [bank[nm] for nm in names2]
+    tabs = [bank[nm] for nm in names1]
+    if not shared:
+        tabs += [bank[nm] for nm in names2]
     out = pl.pallas_call(
         kern,
         grid=(batch // bt,),

@@ -73,10 +73,10 @@ def _is_vmem_exhaustion(exc: BaseException) -> bool:
     exhaustion (VMEM overflow / RESOURCE_EXHAUSTED), the TPU analogue of the
     reference's out_of_local_memory_error (common/exceptions.hpp:73-77)."""
     msg = str(exc)
-    return any(
-        p in msg
-        for p in ("vmem", "VMEM", "RESOURCE_EXHAUSTED", "Ran out of memory")
-    )
+    # only genuine on-chip (VMEM) messages qualify: HBM allocation
+    # failures also say RESOURCE_EXHAUSTED / "Ran out of memory" but must
+    # not be rebranded as the typed unsupported-configuration error.
+    return "vmem" in msg or "VMEM" in msg
 
 
 class CommittedDescriptor:
@@ -142,11 +142,15 @@ class CommittedDescriptor:
                         != Layout.PACKED
                         or get_layout(descriptor, Direction.BACKWARD)
                         != Layout.PACKED
+                        # layout classification ignores offsets, but the
+                        # df64 REAL path reads/writes from element 0
+                        or descriptor.get_offset(Direction.FORWARD)
+                        or descriptor.get_offset(Direction.BACKWARD)
                     ):
                         raise UnsupportedConfiguration(
                             "emulated fp64 REAL supports 1D out-of-place "
                             "INTERLEAVED transforms in the default PACKED "
-                            "layout"
+                            "layout with zero offsets"
                         )
                 from .ops import df64 as _df64mod
 
@@ -337,9 +341,13 @@ class CommittedDescriptor:
         previous materialized-index gather built a (batch, N) int array —
         ~1 GB at bench scale (VERDICT round 2, missing #2)."""
         d = self.descriptor
-        if len(d.lengths) != 1:
+        # REAL descriptors have different element grids per domain (the
+        # spectrum side is n//2+1) — the rectangle must be built from the
+        # domain's own length, like _gather/_scatter do.
+        lengths = d.domain_lengths(direction)
+        if len(lengths) != 1:
             return None
-        n = d.lengths[0]
+        n = lengths[0]
         s = d.get_strides(direction)[0]
         dist = d.get_distance(direction)
         o = d.get_offset(direction)
@@ -352,7 +360,10 @@ class CommittedDescriptor:
             # cannot (validated) — either way the rectangle view fails.
             return None
         if b == 1:
-            dist = max(dist, span)  # distance is meaningless for one row
+            # distance is meaningless for one row; clamping to the span
+            # keeps the padded rectangle at O(span) no matter what the
+            # user declared (a huge declared distance must not size it).
+            dist = span
         return o, s, dist, n, b
 
     def _gather(self, flat, direction: Direction):

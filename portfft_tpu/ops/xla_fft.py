@@ -39,6 +39,12 @@ from .. import twiddle as tw
 from ..enums import Level
 from ..planner import Plan1D
 
+#: lane-tile candidates for which the factored-resident pass-1 twiddle
+#: table sets ('Q'/'ZQ') are banked at commit; the autotuner must only
+#: emit {"ftw": 1} variants at these t1 values (a miss would silently
+#: measure the dense path under the ftw label).
+FTW_T1_CANDIDATES = (64, 128, 256)
+
 Array = jax.Array
 
 #: MXU precision for the factor matmuls.  HIGHEST (6-pass bf16 emulation)
@@ -154,20 +160,28 @@ class TwiddleBank:
             self.host[key] = None
         return key
 
+    @staticmethod
+    def _bluestein_bhat(n: int, conv_n: int, sign: int):
+        """Chirp c (complex128, length n) and b̂ = DFT of the zero-padded
+        mirrored conjugate chirp with the backward convolution's 1/conv_n
+        normalization folded in.  The single source of the normalization-
+        critical construction shared by chirp() and bluestein_post()."""
+        cr, ci = tw.bluestein_chirp(n, sign, np.float64)
+        c = cr + 1j * ci
+        b = np.zeros(conv_n, dtype=np.complex128)
+        b[:n] = np.conj(c)
+        b[conv_n - n + 1 :] = np.conj(c)[1:][::-1]
+        return c, np.fft.fft(b) * (1.0 / conv_n)
+
     def chirp(self, n: int, conv_n: int, sign: int) -> str:
         """Bluestein chirp c and the DFT of the padded mirrored chirp b.
         The backward convolution's 1/conv_n normalization is folded into
         the b table (one fewer elementwise pass at execute time)."""
         key = f"B{'f' if sign < 0 else 'b'}{n}_{conv_n}"
         if key not in self.host:
-            cr, ci = tw.bluestein_chirp(n, sign, np.float64)
-            c = cr + 1j * ci
-            b = np.zeros(conv_n, dtype=np.complex128)
-            b[:n] = np.conj(c)
-            b[conv_n - n + 1 :] = np.conj(c)[1:][::-1]
-            bf = np.fft.fft(b) * (1.0 / conv_n)
-            self.host[key + "cr"] = cr.astype(self.dtype)
-            self.host[key + "ci"] = ci.astype(self.dtype)
+            c, bf = self._bluestein_bhat(n, conv_n, sign)
+            self.host[key + "cr"] = c.real.astype(self.dtype)
+            self.host[key + "ci"] = c.imag.astype(self.dtype)
             self.host[key + "br"] = bf.real.astype(self.dtype)
             self.host[key + "bi"] = bf.imag.astype(self.dtype)
             self.host[key] = None
@@ -184,12 +198,7 @@ class TwiddleBank:
         the conv-sized data per transform."""
         key = f"O{'f' if sign < 0 else 'b'}{n}_{g1}x{g2}"
         if key not in self.host:
-            cr, ci = tw.bluestein_chirp(n, sign, np.float64)
-            c = cr + 1j * ci
-            b = np.zeros(conv_n, dtype=np.complex128)
-            b[:n] = np.conj(c)
-            b[conv_n - n + 1 :] = np.conj(c)[1:][::-1]
-            bf = np.fft.fft(b) * (1.0 / conv_n)
+            c, bf = self._bluestein_bhat(n, conv_n, sign)
             cz = np.zeros(conv_n, dtype=np.complex128)
             cz[:n] = c
             for suf, arr in (("f", bf), ("g", cz)):
@@ -646,8 +655,10 @@ def collect_bank_keys(
         keys[("T", g1.n, g2.n, sign)] = bank.twiddle(g1.n, g2.n, sign)
         if g1.level == Level.DIRECT and g1.n % 128 == 0:
             # factored resident pass-1 twiddle for the raw engine, one set
-            # per candidate lane tile (tables are ~100 KB each)
-            for t1c in (64, 128, 256):
+            # per candidate lane tile (tables are ~100 KB each; eager build
+            # is cheap — small cos/sin matrices — and keeps the opt-in
+            # {"ftw": 1} autotuner variant measurable without a re-commit)
+            for t1c in FTW_T1_CANDIDATES:
                 if g2.n % t1c == 0:
                     keys[("Q", g1.n, plan.n, sign, t1c)] = bank.btw_planes(
                         g1.n, g2.n, plan.n, t1c, sign
@@ -662,7 +673,7 @@ def collect_bank_keys(
             keys[("Z", g1.n, g2.n, sign)] = bank.global_fused_twiddles(
                 f1[0], g2.n, plan.n, sign
             )
-            for t1c in (64, 128, 256):
+            for t1c in FTW_T1_CANDIDATES:
                 if g2.n % t1c == 0:
                     keys[("ZQ", g1.n, g2.n, sign, t1c)] = (
                         bank.global_fused_twiddles_factored(

@@ -164,10 +164,16 @@ def _variants_for_entry(committed, entry) -> list[dict]:
                     if t2 == 256:
                         # factored-resident twiddle variant (see
                         # pallas_global.global2_raw_call use_ftw) and
-                        # the narrow-matmul (mm off) variant
-                        out.append(
-                            {"eng": 2, "t1": t1, "t2": t2, "ftw": 1}
-                        )
+                        # the narrow-matmul (mm off) variant.  ftw only
+                        # at t1 values whose 'Q'/'ZQ' tables are banked —
+                        # elsewhere the lookup misses and the "variant"
+                        # would silently measure the dense path.
+                        from .ops.xla_fft import FTW_T1_CANDIDATES
+
+                        if t1 in FTW_T1_CANDIDATES:
+                            out.append(
+                                {"eng": 2, "t1": t1, "t2": t2, "ftw": 1}
+                            )
                         out.append(
                             {"eng": 2, "t1": t1, "t2": t2, "mm": 0}
                         )

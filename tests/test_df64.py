@@ -233,3 +233,10 @@ def test_df64_real_unsupported_shapes():
             lengths=[64], number_of_transforms=1, domain=Domain.REAL,
             placement=Placement.IN_PLACE, precision="float64",
         ).commit(emulate_fp64=True)
+    # offsets pass the PACKED layout check (classification ignores them)
+    # but the df64 REAL path reads from element 0 — must be rejected
+    with pytest.raises(UnsupportedConfiguration, match="offset"):
+        Descriptor(
+            lengths=[64], number_of_transforms=1, domain=Domain.REAL,
+            forward_offset=8, precision="float64",
+        ).commit(emulate_fp64=True)

@@ -117,6 +117,78 @@ def test_r2c_strided_real_side():
     assert np.allclose(y.reshape(3, -1), ref, atol=1e-3)
 
 
+def test_r2c_padded_spectrum_rows():
+    """Non-default spectrum-side layout: each half-spectrum row (n//2+1
+    complex elements) sits in a padded row of ``backward_distance`` > that.
+    The rectangle fast path must size rows from the BACKWARD domain's
+    length, not the transform length (round-3 review regression)."""
+    n, b, dist = 32, 3, 32  # spectrum rows are 17 wide, padded to 32
+    desc = make(
+        n,
+        number_of_transforms=b,
+        backward_strides=[1],
+        backward_distance=dist,
+    )
+    plan = desc.commit()
+    x = gen_real(desc, 7)
+    h1 = n // 2 + 1
+    out_count = desc.get_output_count(Direction.FORWARD)
+    sentinel = np.full(out_count, -5.0 - 5.0j, np.complex64)
+    y = np.asarray(
+        plan.compute_forward(x.reshape(-1), out=sentinel)
+    ).reshape(-1)
+    ref = np.fft.rfft(x, axis=-1)
+    written = np.zeros(out_count, bool)
+    for k in range(b):
+        got = y[k * dist : k * dist + h1]
+        assert np.allclose(got, ref[k], atol=1e-3), k
+        written[k * dist : k * dist + h1] = True
+    assert np.all(y[~written] == sentinel[~written]), (
+        "padded spectrum gaps disturbed"
+    )
+
+
+def test_c2r_padded_spectrum_rows():
+    """Backward (C2R) reading the half spectrum out of padded rows."""
+    n, b, dist = 32, 3, 40
+    desc = make(
+        n,
+        number_of_transforms=b,
+        backward_strides=[1],
+        backward_distance=dist,
+    )
+    plan = desc.commit()
+    x = gen_real(desc, 8)
+    spec = np.fft.rfft(x, axis=-1).astype(np.complex64)
+    h1 = n // 2 + 1
+    buf = np.full(desc.get_input_count(Direction.BACKWARD), 9 + 9j,
+                  np.complex64)
+    for k in range(b):
+        buf[k * dist : k * dist + h1] = spec[k]
+    y = np.asarray(plan.compute_backward(buf))
+    assert np.allclose(y.reshape(b, n) / n, x, atol=1e-4)
+
+
+def test_r2c_strided_spectrum_side():
+    """Spectrum side with stride > 1 (complex elements every other slot)."""
+    n, b, s = 32, 2, 2
+    h1 = n // 2 + 1
+    dist = (h1 - 1) * s + 1 + 3
+    desc = make(
+        n,
+        number_of_transforms=b,
+        backward_strides=[s],
+        backward_distance=dist,
+    )
+    plan = desc.commit()
+    x = gen_real(desc, 9)
+    y = np.asarray(plan.compute_forward(x.reshape(-1))).reshape(-1)
+    ref = np.fft.rfft(x, axis=-1)
+    for k in range(b):
+        got = y[k * dist : k * dist + (h1 - 1) * s + 1 : s]
+        assert np.allclose(got, ref[k], atol=1e-3), k
+
+
 def test_real_buffer_counts():
     d = make(64, number_of_transforms=2)
     assert d.get_input_count(Direction.FORWARD) == 128       # real elems

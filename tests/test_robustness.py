@@ -140,3 +140,25 @@ def test_workspace_len_accounts_for_bluestein():
     conv_n = plan.plans[65537].conv.n
     assert conv_n >= 2 * 65537 - 1
     assert plan._workspace_len() >= conv_n
+
+
+def test_vmem_exhaustion_matcher_excludes_hbm_oom():
+    """HBM allocation failures also print RESOURCE_EXHAUSTED / 'Ran out of
+    memory' but are NOT the typed on-chip (VMEM) exhaustion — rebranding
+    them as OutOfVmemError (an UnsupportedConfiguration subclass) would let
+    capability probes swallow genuine out-of-memory conditions."""
+    from portfft_tpu.committed import _is_vmem_exhaustion
+
+    assert _is_vmem_exhaustion(
+        RuntimeError("Mosaic: Ran out of memory in memory space vmem")
+    )
+    assert _is_vmem_exhaustion(RuntimeError("scoped VMEM limit exceeded"))
+    assert not _is_vmem_exhaustion(
+        RuntimeError(
+            "RESOURCE_EXHAUSTED: Out of memory allocating 17179869184 "
+            "bytes (HBM)"
+        )
+    )
+    assert not _is_vmem_exhaustion(
+        RuntimeError("Ran out of memory while allocating device buffer")
+    )

@@ -99,6 +99,35 @@ def test_strided_output_scatter_preserves_gaps():
     )
 
 
+def test_single_transform_ignores_declared_distance():
+    """number_of_transforms == 1: the declared distance is meaningless and
+    must not size the rectangle (a huge declared distance previously padded
+    the gathered block to ``distance`` elements)."""
+    n, stride = 1024, 2
+    desc = pfft.Descriptor(
+        lengths=[n],
+        number_of_transforms=1,
+        forward_strides=[stride],
+        forward_distance=10**9,  # legal: unused for one row
+        backward_strides=[1],
+        backward_distance=n,
+    )
+    plan = desc.commit()
+    reg = plan._regular_1d(Direction.FORWARD)
+    assert reg is not None
+    span = (n - 1) * stride + 1
+    assert reg[2] == span, "distance must clamp to the span for b == 1"
+    # buffer of exactly the required count (offset + span) works
+    count = desc.get_input_count(Direction.FORWARD)
+    assert count == span
+    rng = np.random.default_rng(2)
+    buf = rng.uniform(-1, 1, 2 * count).astype(np.float32).view(np.complex64)
+    got = np.asarray(plan.compute_forward(buf)).view(np.complex64)
+    ref = np.fft.fft(buf[::stride])
+    tol = 2 * np.finfo(np.float32).eps * n * np.log2(n)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tol
+
+
 def test_no_giant_index_constant_in_jaxpr():
     """The regular strided path must not materialize a (batch, N) index
     array inside the traced function (the round-2 scaling hazard)."""

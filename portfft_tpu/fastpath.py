@@ -374,11 +374,12 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         plan0 = committed.plans[n0]
         sign = _SIGNS[direction]
         rest2 = 2 * d.number_of_transforms
+        ct_bi = overrides.get("ct", 0)
 
         def fn(raw, bank):
             res = pallas_multidim.col_raw_call(
                 raw, 1, plan0, rest2, sign, names, bank, committed.config,
-                committed.matmul_precision, scale,
+                committed.matmul_precision, scale, ct_override=ct_bi,
             )
             if res is None:
                 raise RawFastUnavailable()
@@ -407,6 +408,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
             and (bt_row * plan_last.factors[0]) % 128
         ):
             bt_row = None  # stale/invalid tuning: let the kernel pick
+        ct_col = overrides.get("ct", 0)  # column-pass lane tile
 
         def fn(raw, bank):
             if last[0] == "direct":
@@ -441,6 +443,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
                 x = pallas_multidim.col_raw_call(
                     x, bpre, committed.plans[ln], rest2, sign, cols[axis],
                     bank, committed.config, committed.matmul_precision, sc,
+                    ct_override=ct_col,
                 )
                 if x is None:
                     raise RawFastUnavailable()
@@ -528,6 +531,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
                     t1 if eng == 2 else 0, t2 if eng == 2 else 0,
                     use_ftw=ftw,
                     use_mm=None if mm_o is None else bool(mm_o),
+                    use_ds=bool(overrides.get("ds")),
                 )
             if res is None:  # no viable pass tiling for this shape
                 raise RawFastUnavailable()
@@ -568,6 +572,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
                 raw, batch, plan0, [bank[nm] for nm in names_mm],
                 committed.config, committed.matmul_precision,
                 bt_override=bt, flat=bool(overrides.get("flat")),
+                ds=bool(overrides.get("ds")),
             )
         if res is None:
             res = pallas_fft.fused2_raw_v2_call(

@@ -88,6 +88,20 @@ def _interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def ds_params(*semantics: str) -> dict:
+    """``compiler_params`` kwargs marking grid dimensions' scheduling
+    semantics (Mosaic defaults every dimension to "arbitrary" = strictly
+    sequential; "parallel" lets it reorder/overlap iterations).  Empty in
+    interpret mode, where TPU compiler params are not understood."""
+    if _interpret_mode():
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=tuple(semantics)
+        )
+    }
+
+
 def dump(tag: str, val) -> None:
     """In-kernel data dump, gated by ``PORTFFT_LOG_DUMPS`` (the reference's
     log_dump_local/log_dump_private device streams, logging.hpp:169-213).
@@ -758,7 +772,7 @@ def _fused2_raw_mm_kernel(a: int, bt: int, g: int, flat: bool = False):
 
 def fused2_raw_mm_call(
     raw, batch, plan, tables_mm, config, precision=None,
-    bt_override: int | None = None, flat: bool = False,
+    bt_override: int | None = None, flat: bool = False, ds: bool = False,
 ):
     """tables_mm = [SA, U_r, U_i, Q1..Q6] (dft_kstack + twiddle_fm +
     mat_kara of the fold-permuted W128, scale folded into Q).  Only valid
@@ -806,6 +820,9 @@ def fused2_raw_mm_call(
             transcendentals=0,
         ),
         interpret=_interpret_mode(),
+        # {"ds": 1} autotuner variant: batch tiles are independent, so the
+        # grid dimension is declared parallel (Mosaic may overlap them)
+        **(ds_params("parallel") if ds else {}),
     )(x2, *tables_mm)
     return out.reshape(total)
 

@@ -795,7 +795,7 @@ def global2_raw_call(
     raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
     precision=None, scale: float = 1.0, t1_override: int = 0,
     t2_override: int = 0, use_ftw: bool = False,
-    use_mm: bool | None = None,
+    use_mm: bool | None = None, use_ds: bool = False,
 ):
     """PACKED interleaved raw (2·batch·n,) -> transformed raw, two passes.
 
@@ -946,6 +946,8 @@ def global2_raw_call(
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
+        # {"ds": 1} autotuner variant: batch grid dim declared parallel
+        **(_pf.ds_params("parallel", "arbitrary") if use_ds else {}),
     )(x3, *[bank[nm] for nm in names1], *tw_arrays)
     in2 = pl.BlockSpec(
         (1, g2, t2), lambda bi, ji: (bi, 0, ji), memory_space=pltpu.VMEM
@@ -987,6 +989,7 @@ def global2_raw_call(
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
+        **(_pf.ds_params("parallel", "arbitrary") if use_ds else {}),
     )(sr, si, *[bank[nm] for nm in names2])
 
     return out.reshape(raw.shape[0])

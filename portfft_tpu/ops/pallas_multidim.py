@@ -145,15 +145,21 @@ def _pick_ct(rest2: int, L: int, fused: bool, vmem: int) -> int:
 def col_raw_call(
     raw, bpre: int, plan: Plan1D, rest2: int, sign: int, names: list[str],
     bank, config, precision=None, scale: float = 1.0,
+    ct_override: int = 0,
 ):
     """Transform axis of length ``plan.n`` over the sublane dimension of the
     PACKED interleaved buffer viewed (bpre, L, rest2).  Returns the
     transformed buffer in the same raw layout, or None when no legal tiling
-    exists."""
+    exists.  ``ct_override`` (autotuner {"ct": …}) replaces the static lane
+    tile when it legally divides the trailing extent."""
     L = plan.n
     fused = plan.level != Level.DIRECT
     prec = _kernel_precision(precision, L)
     ct = _pick_ct(rest2, L, fused, config.vmem_bytes * 3 // 4)
+    if ct_override and rest2 % ct_override == 0 and (
+        ct_override % 128 == 0 or ct_override == rest2
+    ):
+        ct = ct_override
     if not ct:
         return None
     x3 = raw.reshape(bpre, L, rest2)

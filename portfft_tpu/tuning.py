@@ -117,6 +117,26 @@ def _variants_for_entry(committed, entry) -> list[dict]:
     d = committed.descriptor
     n = d.lengths[0]
     total = d.number_of_transforms * n
+    if kind in ("multidim", "bi_col"):
+        # lane tile of the sublane-major column kernel ({} = the static
+        # heuristic).  Only cts dividing every column pass's trailing
+        # extent are emitted — an invalid override silently falls back to
+        # the static pick, which would duplicate that measurement.
+        import math
+
+        if kind == "bi_col":
+            rests = [2 * d.number_of_transforms]
+        else:
+            rests = [
+                2 * math.prod(d.lengths[axis + 1 :])
+                for axis in range(len(d.lengths) - 1)
+                if d.lengths[axis] > 1
+            ]
+        out = [{}]
+        for ct in (2048, 1024, 512, 384, 256, 128):
+            if rests and all(r % ct == 0 for r in rests):
+                out.append({"ct": ct})
+        return out
     if kind == "direct":
         chunk = entry[2]
         out = []
@@ -139,6 +159,7 @@ def _variants_for_entry(committed, entry) -> list[dict]:
             if (bt * a) % 128 == 0:
                 out.append({"eng": 4, "bt": bt})
                 out.append({"eng": 4, "bt": bt, "flat": 1})
+                out.append({"eng": 4, "bt": bt, "ds": 1})
                 out.append({"eng": 2, "bt": bt})
             if (bt * a) % 8 == 0:
                 out.append({"eng": 3, "bt": bt})
@@ -176,6 +197,9 @@ def _variants_for_entry(committed, entry) -> list[dict]:
                             )
                         out.append(
                             {"eng": 2, "t1": t1, "t2": t2, "mm": 0}
+                        )
+                        out.append(
+                            {"eng": 2, "t1": t1, "t2": t2, "ds": 1}
                         )
         from .ops.pallas_global import global_sq_supported, sq_est_bytes
 
@@ -263,7 +287,7 @@ def autotune(committed, direction=None, iters: int = 5) -> Optional[dict]:
     if len(variants) <= 1:
         return None
     d = committed.descriptor
-    total = d.number_of_transforms * d.lengths[0]
+    total = d.number_of_transforms * d.get_flattened_length()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, 2 * total).astype(np.float32))
     key = _entry_key(committed, kind)

@@ -135,16 +135,48 @@ def tune_shape(n: int, batch: int, device: str) -> None:
           f"{gb/t:6.1f} GB/s", flush=True)
 
 
+MD_SHAPES = [
+    ([512, 512], 256),
+    ([128, 128, 128], 32),
+]
+
+
+def tune_multidim(lengths, batch) -> None:
+    """Autotune a multi-dim bench shape (column-kernel lane tile + the
+    reused 1D row tuning are measured through the multidim entry)."""
+    rng = np.random.default_rng(0)
+    total = batch
+    for ln in lengths:
+        total *= ln
+    x = jnp.asarray(rng.uniform(-1, 1, 2 * total).astype(np.float32))
+    plan = pfft.Descriptor(
+        lengths=lengths, number_of_transforms=batch
+    ).commit()
+    params = plan.autotune()
+    t = measure_plan(plan, x)
+    gb = total * 16 / 1e9
+    name = "x".join(str(ln) for ln in lengths)
+    print(f"md {name:>12s} b={batch:5d} tuned={params} "
+          f"{t*1e3:8.3f} ms {gb/t:6.1f} GB/s", flush=True)
+
+
 def main() -> None:
     dev = jax.devices()[0]
     device = pfft.resolve_device_config(dev).name
     print(f"tuning on {dev.device_kind} ({device})", flush=True)
     shapes = SHAPES
+    md = MD_SHAPES
     if len(sys.argv) > 1:
-        wanted = {int(a) for a in sys.argv[1:]}
-        shapes = [(nn, bb) for nn, bb in SHAPES if nn in wanted]
+        if sys.argv[1] == "md":
+            shapes = []
+        else:
+            wanted = {int(a) for a in sys.argv[1:]}
+            shapes = [(nn, bb) for nn, bb in SHAPES if nn in wanted]
+            md = []
     for n, batch in shapes:
         tune_shape(n, batch, device)
+    for lengths, batch in md:
+        tune_multidim(lengths, batch)
     print("tuning cache:", tuning._USER_PATH, flush=True)
 
 

@@ -83,6 +83,26 @@ def test_fused2_mm_flat_stage_b_parity(n, batch):
     assert rel < 1e-4, rel
 
 
+def test_fused2_mm_ds_variant_parity():
+    """The {"ds": 1} variant (grid dimension declared parallel) is a pure
+    scheduling hint — results identical (compiler params are skipped in
+    interpret mode; this pins the plumbing and the TPU-side call shape)."""
+    n, batch = 4096, 4
+    plan = plan_1d(n, CFG, 4)
+    a = plan.factors[0]
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    tables = _mm_tables(a, -1)
+    got = pallas_fft.fused2_raw_mm_call(
+        jnp.asarray(x), batch, plan, tables, CFG, ds=True
+    )
+    assert got is not None
+    gc = np.asarray(got).view(np.complex64).reshape(batch, n)
+    ref = np.fft.fft(x.view(np.complex64).reshape(batch, n))
+    rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+
 def test_fused2_mm_declines_highest_precision():
     plan = plan_1d(4096, CFG, 4)
     a = plan.factors[0]

@@ -70,6 +70,27 @@ def test_autotune_interpreter(tmp_cache):
     oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
 
 
+def test_autotune_multidim_ct(tmp_cache):
+    """Multi-dim entries enumerate the column-kernel lane tile ({"ct": …})
+    and the tuned override computes identically."""
+    desc = Descriptor(lengths=[8, 128], number_of_transforms=16)
+    plan = desc.commit(use_pallas=True)
+    from portfft_tpu.enums import Direction as _Dir
+
+    entry = plan._raw_fast.get(_Dir.FORWARD)
+    assert entry is not None and entry[0] == "multidim"
+    variants = tuning._variants_for_entry(plan, entry)
+    assert {"ct": 256} in variants and {"ct": 128} in variants
+    params = plan.autotune(iters=1)
+    assert params is not None
+    assert tuning.lookup(plan.config.name, "multidim", "n8x128") == params
+    x = oracle.gen_input(desc, 3)
+    ref = oracle.reference_output(desc, x, Direction.FORWARD)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
+
+
 def test_no_tuning_env_zero_means_on(tmp_cache, monkeypatch):
     """PORTFFT_NO_TUNING=0 must keep tuning lookups enabled (review fix)."""
     monkeypatch.setenv("PORTFFT_NO_TUNING", "0")
@@ -119,3 +140,21 @@ def test_shipped_defaults_are_consistent():
             assert params.get("bt", 1) >= 1
         for key, params in tbl.get("direct", {}).items():
             assert params.get("rt", 8) >= 8
+
+
+def test_global2_ds_override_parity(tmp_cache):
+    """A tuned {"eng": 2, "ds": 1} entry (parallel grid semantics) changes
+    scheduling only — end-to-end results must be identical."""
+    n, b = 65536, 2
+    desc = Descriptor(lengths=[n], number_of_transforms=b)
+    plan = desc.commit(use_pallas=True)
+    if plan.plans[n].level != Level.GLOBAL:
+        pytest.skip("shape did not plan GLOBAL on this config")
+    key = tuning._entry_key(plan, "global2")
+    tuning.record(plan.config.name, "global2", key, {"eng": 2, "ds": 1})
+    plan2 = desc.commit(use_pallas=True)
+    x = oracle.gen_input(desc, 5)
+    ref = oracle.reference_output(desc, x, Direction.FORWARD)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    out = np.asarray(plan2.compute_forward(flat))
+    oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)

@@ -14,6 +14,7 @@ Quick start::
     x2 = plan.compute_backward(y)        # unnormalized inverse
 """
 
+from . import functional
 from .committed import CommittedDescriptor
 from .config import DeviceConfig, resolve_device_config
 from .descriptor import Descriptor
@@ -49,6 +50,7 @@ __all__ = [
     "Placement",
     "PortFFTError",
     "UnsupportedConfiguration",
+    "functional",
     "inv",
     "resolve_device_config",
 ]

@@ -276,6 +276,45 @@ class CommittedDescriptor:
         """Backward (inverse, unnormalized ×backward_scale) transform."""
         return self._compute(Direction.BACKWARD, x, x_imag, out, out_imag)
 
+    def apply(self, x, x_imag=None, *, direction=Direction.FORWARD):
+        """Pure, traceable transform on canonical (batch, *lengths) data.
+
+        Unlike ``compute_forward``/``compute_backward`` (which jit, donate
+        and cache per entry), this is a plain traced function: embed it in
+        your own ``jax.jit``/``lax.scan`` program, differentiate through it
+        (the DFT is linear, so gradients are exact), or compose it with
+        sharding.  Scales apply; strides/distances/offsets do NOT (data is
+        already canonical).  Pass a complex array, or split re/im planes
+        (returns a matching complex array or a (re, im) pair).  A JAX-
+        native extension — the reference's compute entry points are always
+        queue submissions (committed_descriptor.hpp:58-310)."""
+        from .enums import Domain
+
+        if self._df64:
+            raise UnsupportedConfiguration(
+                "apply() is not available on the emulated-fp64 path (its "
+                "hi/lo split is host-side); use compute_forward/backward"
+            )
+        if self.descriptor.domain != Domain.COMPLEX:
+            raise UnsupportedConfiguration(
+                "apply() supports COMPLEX-domain plans; REAL transforms "
+                "go through compute_forward/backward"
+            )
+        d = self.descriptor
+        shape = (d.number_of_transforms, *d.lengths)
+        split = x_imag is not None
+        if split:
+            xr = jnp.asarray(x).reshape(shape)
+            xi = jnp.asarray(x_imag).reshape(shape)
+        else:
+            z = jnp.asarray(x).reshape(shape)
+            xr = jnp.real(z).astype(self.precision)
+            xi = jnp.imag(z).astype(self.precision)
+        yr, yi = self._core(xr, xi, direction, self._bank_arrays)
+        if split:
+            return yr, yi
+        return jax.lax.complex(yr, yi)
+
     def plan_description(self) -> dict:
         """Human-readable plan summary (one entry per dimension length)."""
         return {n: p.describe() for n, p in self.plans.items()}

@@ -1,0 +1,152 @@
+"""``numpy.fft``-style functional convenience API over the descriptor path.
+
+JAX users expect ``fft(x, axis=-1)``, not a plan-and-execute object model;
+these wrappers commit (and LRU-cache) the matching :class:`Descriptor` per
+(shape, dtype, norm) and dispatch through the library's optimized compute
+entry points — raw Pallas fast paths included.  A thin extension layer:
+everything here is expressible with the core API (the reference exposes
+only the descriptor model, committed_descriptor.hpp:58-310).
+
+For embedding a transform inside your own ``jax.jit`` / ``lax.scan`` /
+``jax.grad`` program, commit a plan once and use
+:meth:`CommittedDescriptor.apply` instead — these wrappers call the
+cached plan's ``compute_*`` entry, which manages its own jit.
+
+Normalization (``norm``) follows numpy: ``None``/"backward" = forward
+unscaled + inverse 1/n, "ortho" = 1/sqrt(n) both ways, "forward" = 1/n on
+the forward transform.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from .descriptor import Descriptor
+from .enums import Domain
+from .exceptions import InvalidConfiguration
+
+_NORMS = ("backward", "ortho", "forward")
+
+
+def _scales(n: int, norm: str | None):
+    norm = norm or "backward"
+    if norm not in _NORMS:
+        raise InvalidConfiguration(f"norm must be one of {_NORMS}")
+    if norm == "backward":
+        return 1.0, 1.0 / n
+    if norm == "ortho":
+        s = 1.0 / math.sqrt(n)
+        return s, s
+    return 1.0 / n, 1.0
+
+
+@functools.lru_cache(maxsize=128)
+def _plan(lengths: tuple, batch: int, precision: str, domain: Domain,
+          norm: str | None):
+    n = math.prod(lengths)
+    fs, bs = _scales(n, norm)
+    return Descriptor(
+        lengths=list(lengths),
+        number_of_transforms=batch,
+        precision=precision,
+        domain=domain,
+        forward_scale=fs,
+        backward_scale=bs,
+    ).commit()
+
+
+def clear_plan_cache() -> None:
+    """Drop every cached committed plan (frees their device tables)."""
+    _plan.cache_clear()
+
+
+def _precision_of(dtype) -> str:
+    dt = np.dtype(dtype)
+    if dt in (np.complex128, np.float64):
+        return "float64"
+    return "float32"
+
+
+def _c2c(x, k: int, forward: bool, norm):
+    x = jnp.asarray(x)
+    if x.ndim < k:
+        raise InvalidConfiguration(
+            f"input has {x.ndim} dims; transform needs {k}"
+        )
+    lengths = tuple(int(s) for s in x.shape[-k:])
+    lead = x.shape[:-k]
+    batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    plan = _plan(lengths, batch, _precision_of(x.dtype), Domain.COMPLEX,
+                 norm)
+    cdt = jnp.complex128 if _precision_of(x.dtype) == "float64" else (
+        jnp.complex64
+    )
+    flat = x.astype(cdt).reshape(-1)
+    run = plan.compute_forward if forward else plan.compute_backward
+    return run(flat).reshape(*lead, *lengths)
+
+
+def fft(x, *, norm=None):
+    """1D forward DFT over the last axis (batched over the rest)."""
+    return _c2c(x, 1, True, norm)
+
+
+def ifft(x, *, norm=None):
+    """1D inverse DFT over the last axis (numpy normalization)."""
+    return _c2c(x, 1, False, norm)
+
+
+def fft2(x, *, norm=None):
+    """2D forward DFT over the last two axes."""
+    return _c2c(x, 2, True, norm)
+
+
+def ifft2(x, *, norm=None):
+    return _c2c(x, 2, False, norm)
+
+
+def fftn(x, *, ndim: int | None = None, norm=None):
+    """N-D forward DFT over the last ``ndim`` axes (default: all)."""
+    return _c2c(x, ndim or jnp.asarray(x).ndim, True, norm)
+
+
+def ifftn(x, *, ndim: int | None = None, norm=None):
+    return _c2c(x, ndim or jnp.asarray(x).ndim, False, norm)
+
+
+def rfft(x, *, norm=None):
+    """1D real-to-complex DFT over the last axis -> (..., n//2+1)."""
+    x = jnp.asarray(x)
+    n = int(x.shape[-1])
+    lead = x.shape[:-1]
+    batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    plan = _plan((n,), batch, _precision_of(x.dtype), Domain.REAL, norm)
+    y = plan.compute_forward(x.reshape(-1))
+    if not jnp.iscomplexobj(y):
+        # jax input -> the spectrum comes back as raw interleaved float
+        # pairs (the library's device-side representation); re-pair
+        import jax as _jax
+
+        p = y.reshape(-1, 2)
+        y = _jax.lax.complex(p[:, 0], p[:, 1])
+    return y.reshape(*lead, n // 2 + 1)
+
+
+def irfft(x, n: int, *, norm=None):
+    """1D complex-to-real inverse of :func:`rfft`; ``n`` is the output
+    length (the half spectrum does not determine parity)."""
+    x = jnp.asarray(x)
+    h1 = int(x.shape[-1])
+    if h1 != n // 2 + 1:
+        raise InvalidConfiguration(
+            f"half spectrum has {h1} bins; expected {n // 2 + 1} for n={n}"
+        )
+    lead = x.shape[:-1]
+    batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    plan = _plan((n,), batch, _precision_of(x.dtype), Domain.REAL, norm)
+    y = plan.compute_backward(x.reshape(-1))
+    return y.reshape(*lead, n)

@@ -1,0 +1,141 @@
+"""Functional (numpy.fft-style) API and the pure traceable ``apply`` entry
+— JAX-native extensions over the descriptor model (the reference exposes
+only plan-and-execute, committed_descriptor.hpp:58-310)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import portfft_tpu as pfft
+from portfft_tpu import functional as F
+from portfft_tpu.enums import Direction
+
+
+@pytest.fixture(autouse=True)
+def fresh_cache():
+    F.clear_plan_cache()
+    yield
+    F.clear_plan_cache()
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+def test_fft_matches_numpy():
+    x = (_rng().uniform(-1, 1, (5, 256))
+         + 1j * _rng(1).uniform(-1, 1, (5, 256))).astype(np.complex64)
+    got = np.asarray(F.fft(x))
+    ref = np.fft.fft(x)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_ifft_normalization_roundtrip():
+    x = (_rng(2).uniform(-1, 1, (3, 128))
+         + 1j * _rng(3).uniform(-1, 1, (3, 128))).astype(np.complex64)
+    back = np.asarray(F.ifft(F.fft(x)))
+    assert np.allclose(back, x, atol=1e-5)
+
+
+@pytest.mark.parametrize("norm", ["ortho", "forward"])
+def test_fft_norms(norm):
+    x = (_rng(4).uniform(-1, 1, (2, 64))
+         + 1j * _rng(5).uniform(-1, 1, (2, 64))).astype(np.complex64)
+    got = np.asarray(F.fft(x, norm=norm))
+    ref = np.fft.fft(x, norm=norm)
+    assert np.allclose(got, ref, atol=1e-4)
+    back = np.asarray(F.ifft(jnp.asarray(got), norm=norm))
+    assert np.allclose(back, x, atol=1e-4)
+
+
+def test_fft2_and_fftn():
+    x = (_rng(6).uniform(-1, 1, (4, 16, 32))
+         + 1j * _rng(7).uniform(-1, 1, (4, 16, 32))).astype(np.complex64)
+    got = np.asarray(F.fft2(x))
+    ref = np.fft.fft2(x)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+    got3 = np.asarray(F.fftn(x))  # all three axes
+    ref3 = np.fft.fftn(x)
+    assert np.linalg.norm(got3 - ref3) / np.linalg.norm(ref3) < 1e-5
+
+
+def test_rfft_irfft():
+    x = _rng(8).uniform(-1, 1, (6, 128)).astype(np.float32)
+    got = np.asarray(F.rfft(x))
+    ref = np.fft.rfft(x)
+    assert got.shape == (6, 65)
+    assert np.allclose(got, ref, atol=1e-3)
+    back = np.asarray(F.irfft(jnp.asarray(got), 128))
+    assert np.allclose(back, x, atol=1e-4)
+    with pytest.raises(pfft.InvalidConfiguration, match="half spectrum"):
+        F.irfft(jnp.asarray(got), 100)
+
+
+def test_plan_cache_reuse():
+    x = (_rng(9).uniform(-1, 1, (2, 64))
+         + 1j * _rng(10).uniform(-1, 1, (2, 64))).astype(np.complex64)
+    F.fft(x)
+    h0 = F._plan.cache_info().hits
+    F.fft(x)  # same (shape, dtype, norm) -> cached plan
+    assert F._plan.cache_info().hits == h0 + 1
+
+
+def test_bad_norm_raises():
+    with pytest.raises(pfft.InvalidConfiguration, match="norm"):
+        F.fft(jnp.zeros((2, 16), jnp.complex64), norm="bogus")
+
+
+# ---------------------------------------------------------------------------
+# CommittedDescriptor.apply — pure traced entry
+# ---------------------------------------------------------------------------
+
+
+def test_apply_matches_numpy_and_jits():
+    n, b = 512, 4
+    plan = pfft.Descriptor(lengths=[n], number_of_transforms=b).commit()
+    x = (_rng(11).uniform(-1, 1, (b, n))
+         + 1j * _rng(12).uniform(-1, 1, (b, n))).astype(np.complex64)
+    got = np.asarray(plan.apply(jnp.asarray(x)))
+    ref = np.fft.fft(x)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+    # composes under a user jit with other ops
+    fn = jax.jit(lambda v: jnp.abs(plan.apply(v)) ** 2)
+    p = np.asarray(fn(jnp.asarray(x)))
+    assert np.allclose(p, np.abs(ref) ** 2, rtol=1e-3, atol=1e-3)
+
+
+def test_apply_split_planes_and_backward():
+    n, b = 256, 2
+    plan = pfft.Descriptor(lengths=[n], number_of_transforms=b).commit()
+    xr = _rng(13).uniform(-1, 1, (b, n)).astype(np.float32)
+    xi = _rng(14).uniform(-1, 1, (b, n)).astype(np.float32)
+    yr, yi = plan.apply(jnp.asarray(xr), jnp.asarray(xi))
+    ref = np.fft.fft(xr + 1j * xi)
+    assert np.allclose(np.asarray(yr) + 1j * np.asarray(yi), ref,
+                       atol=1e-3)
+    br, bi = plan.apply(yr, yi, direction=Direction.BACKWARD)
+    assert np.allclose(np.asarray(br) / n, xr, atol=1e-4)
+
+
+def test_apply_differentiable():
+    """The DFT is linear; grad of sum|FFT(x)|^2 = 2*N*x by Parseval."""
+    n, b = 64, 2
+    plan = pfft.Descriptor(lengths=[n], number_of_transforms=b).commit()
+    xr = jnp.asarray(_rng(15).uniform(-1, 1, (b, n)).astype(np.float32))
+
+    def loss(v):
+        return jnp.sum(jnp.abs(plan.apply(v, jnp.zeros_like(v))[0]) ** 2
+                       + jnp.abs(plan.apply(v, jnp.zeros_like(v))[1]) ** 2)
+
+    g = jax.grad(loss)(xr)
+    assert np.allclose(np.asarray(g), 2 * n * np.asarray(xr), rtol=1e-3,
+                       atol=1e-2)
+
+
+def test_apply_rejects_real_domain():
+    plan = pfft.Descriptor(
+        lengths=[64], number_of_transforms=1, domain=pfft.Domain.REAL
+    ).commit()
+    with pytest.raises(pfft.UnsupportedConfiguration, match="REAL"):
+        plan.apply(jnp.zeros((1, 64), jnp.float32))

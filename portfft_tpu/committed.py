@@ -304,8 +304,8 @@ class CommittedDescriptor:
         shape = (d.number_of_transforms, *d.lengths)
         split = x_imag is not None
         if split:
-            xr = jnp.asarray(x).reshape(shape)
-            xi = jnp.asarray(x_imag).reshape(shape)
+            xr = jnp.asarray(x).reshape(shape).astype(self.precision)
+            xi = jnp.asarray(x_imag).reshape(shape).astype(self.precision)
         else:
             z = jnp.asarray(x).reshape(shape)
             xr = jnp.real(z).astype(self.precision)

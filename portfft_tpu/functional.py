@@ -32,10 +32,16 @@ from .exceptions import InvalidConfiguration
 _NORMS = ("backward", "ortho", "forward")
 
 
-def _scales(n: int, norm: str | None):
+def _canon_norm(norm: str | None) -> str:
+    """None and "backward" are the same mode — canonicalize before the
+    plan-cache key so they share one committed plan."""
     norm = norm or "backward"
     if norm not in _NORMS:
         raise InvalidConfiguration(f"norm must be one of {_NORMS}")
+    return norm
+
+
+def _scales(n: int, norm: str):
     if norm == "backward":
         return 1.0, 1.0 / n
     if norm == "ortho":
@@ -46,7 +52,7 @@ def _scales(n: int, norm: str | None):
 
 @functools.lru_cache(maxsize=128)
 def _plan(lengths: tuple, batch: int, precision: str, domain: Domain,
-          norm: str | None):
+          norm: str):
     n = math.prod(lengths)
     fs, bs = _scales(n, norm)
     return Descriptor(
@@ -81,7 +87,7 @@ def _c2c(x, k: int, forward: bool, norm):
     lead = x.shape[:-k]
     batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
     plan = _plan(lengths, batch, _precision_of(x.dtype), Domain.COMPLEX,
-                 norm)
+                 _canon_norm(norm))
     cdt = jnp.complex128 if _precision_of(x.dtype) == "float64" else (
         jnp.complex64
     )
@@ -124,15 +130,18 @@ def rfft(x, *, norm=None):
     n = int(x.shape[-1])
     lead = x.shape[:-1]
     batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    plan = _plan((n,), batch, _precision_of(x.dtype), Domain.REAL, norm)
+    plan = _plan((n,), batch, _precision_of(x.dtype), Domain.REAL,
+                 _canon_norm(norm))
     y = plan.compute_forward(x.reshape(-1))
     if not jnp.iscomplexobj(y):
         # jax input -> the spectrum comes back as raw interleaved float
-        # pairs (the library's device-side representation); re-pair
+        # pairs; re-pair through the layout-safe helper (a naive
+        # reshape(-1, 2) pads the 2-wide lane dim to 128 on TPU — 64×
+        # memory blowup, see CommittedDescriptor._deinterleave)
         import jax as _jax
 
-        p = y.reshape(-1, 2)
-        y = _jax.lax.complex(p[:, 0], p[:, 1])
+        re, im = plan._deinterleave(y)
+        y = _jax.lax.complex(re, im)
     return y.reshape(*lead, n // 2 + 1)
 
 
@@ -147,6 +156,7 @@ def irfft(x, n: int, *, norm=None):
         )
     lead = x.shape[:-1]
     batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    plan = _plan((n,), batch, _precision_of(x.dtype), Domain.REAL, norm)
+    plan = _plan((n,), batch, _precision_of(x.dtype), Domain.REAL,
+                 _canon_norm(norm))
     y = plan.compute_backward(x.reshape(-1))
     return y.reshape(*lead, n)

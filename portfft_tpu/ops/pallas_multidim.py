@@ -126,18 +126,18 @@ def _col_fused_kernel(a: int, prec, scale):
     return kernel
 
 
+def _ct_bytes(L: int, ct: int, fused: bool) -> int:
+    """VMEM working-set estimate for one (L, ct) column tile."""
+    return (10 if fused else 6) * L * ct * 4
+
+
 def _pick_ct(rest2: int, L: int, fused: bool, vmem: int) -> int:
     """Lane tile over the trailing (interleaved) extent: a 128-multiple
     dividing rest2, or rest2 itself (full-dim blocks are always legal)."""
-    mult = 10 if fused else 6
-
-    def est(ct_):
-        return mult * L * ct_ * 4
-
     for ct in (2048, 1024, 512, 384, 256, 128):
-        if rest2 % ct == 0 and est(ct) <= vmem:
+        if rest2 % ct == 0 and _ct_bytes(L, ct, fused) <= vmem:
             return ct
-    if est(rest2) <= vmem:
+    if _ct_bytes(L, rest2, fused) <= vmem:
         return rest2
     return 0
 
@@ -155,9 +155,14 @@ def col_raw_call(
     L = plan.n
     fused = plan.level != Level.DIRECT
     prec = _kernel_precision(precision, L)
-    ct = _pick_ct(rest2, L, fused, config.vmem_bytes * 3 // 4)
-    if ct_override and rest2 % ct_override == 0 and (
-        ct_override % 128 == 0 or ct_override == rest2
+    vmem = config.vmem_bytes * 3 // 4
+    ct = _pick_ct(rest2, L, fused, vmem)
+    if (
+        ct_override
+        and rest2 % ct_override == 0
+        and (ct_override % 128 == 0 or ct_override == rest2)
+        # a stale/foreign cache entry must not push the block past VMEM
+        and _ct_bytes(L, ct_override, fused) <= vmem
     ):
         ct = ct_override
     if not ct:

@@ -7,7 +7,9 @@ and, for GLOBAL sizes, the four-step split itself — then persists winners to
 the user tuning cache (~/.cache/portfft_tpu_tuning.json).  Merge the cache
 into portfft_tpu/tuning_defaults.json to ship them.
 
-Usage: python scripts/tune.py [n ...]     (default: the bench-set sizes)
+Usage: python scripts/tune.py [n ...] [md]
+(no args = every 1D bench-set size plus the 2D/3D bench shapes; numeric
+args filter the 1D sizes, the literal ``md`` adds the multi-dim shapes)
 """
 
 from __future__ import annotations
@@ -167,12 +169,10 @@ def main() -> None:
     shapes = SHAPES
     md = MD_SHAPES
     if len(sys.argv) > 1:
-        if sys.argv[1] == "md":
-            shapes = []
-        else:
-            wanted = {int(a) for a in sys.argv[1:]}
-            shapes = [(nn, bb) for nn, bb in SHAPES if nn in wanted]
-            md = []
+        args = sys.argv[1:]
+        md = MD_SHAPES if "md" in args else []
+        wanted = {int(a) for a in args if a != "md"}
+        shapes = [(nn, bb) for nn, bb in SHAPES if nn in wanted]
     for n, batch in shapes:
         tune_shape(n, batch, device)
     for lengths, batch in md:

@@ -77,6 +77,23 @@ def _precision_of(dtype) -> str:
     return "float32"
 
 
+def _to_last(x, axis: int):
+    """Move ``axis`` to the end (no-op for the default -1)."""
+    if axis in (-1, x.ndim - 1):
+        return x, False
+    return jnp.moveaxis(x, axis, -1), True
+
+
+def _sized(x, n: int | None):
+    """numpy fft's ``n=``: truncate or zero-pad the last axis to n."""
+    if n is None or n == x.shape[-1]:
+        return x
+    if n < x.shape[-1]:
+        return x[..., :n]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+    return jnp.pad(x, pad)
+
+
 def _c2c(x, k: int, forward: bool, norm):
     x = jnp.asarray(x)
     if x.ndim < k:
@@ -96,14 +113,19 @@ def _c2c(x, k: int, forward: bool, norm):
     return run(flat).reshape(*lead, *lengths)
 
 
-def fft(x, *, norm=None):
-    """1D forward DFT over the last axis (batched over the rest)."""
-    return _c2c(x, 1, True, norm)
+def fft(x, n=None, axis=-1, *, norm=None):
+    """1D forward DFT (numpy signature: ``n`` pads/truncates, ``axis``
+    selects the transform axis; batched over the other axes)."""
+    x, moved = _to_last(jnp.asarray(x), axis)
+    y = _c2c(_sized(x, n), 1, True, norm)
+    return jnp.moveaxis(y, -1, axis) if moved else y
 
 
-def ifft(x, *, norm=None):
-    """1D inverse DFT over the last axis (numpy normalization)."""
-    return _c2c(x, 1, False, norm)
+def ifft(x, n=None, axis=-1, *, norm=None):
+    """1D inverse DFT (numpy normalization)."""
+    x, moved = _to_last(jnp.asarray(x), axis)
+    y = _c2c(_sized(x, n), 1, False, norm)
+    return jnp.moveaxis(y, -1, axis) if moved else y
 
 
 def fft2(x, *, norm=None):
@@ -124,9 +146,10 @@ def ifftn(x, *, ndim: int | None = None, norm=None):
     return _c2c(x, ndim or jnp.asarray(x).ndim, False, norm)
 
 
-def rfft(x, *, norm=None):
-    """1D real-to-complex DFT over the last axis -> (..., n//2+1)."""
-    x = jnp.asarray(x)
+def rfft(x, n=None, axis=-1, *, norm=None):
+    """1D real-to-complex DFT -> (..., n//2+1) along ``axis``."""
+    x, moved = _to_last(jnp.asarray(x), axis)
+    x = _sized(x, n)
     n = int(x.shape[-1])
     lead = x.shape[:-1]
     batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
@@ -142,13 +165,14 @@ def rfft(x, *, norm=None):
 
         re, im = plan._deinterleave(y)
         y = _jax.lax.complex(re, im)
-    return y.reshape(*lead, n // 2 + 1)
+    y = y.reshape(*lead, n // 2 + 1)
+    return jnp.moveaxis(y, -1, axis) if moved else y
 
 
-def irfft(x, n: int, *, norm=None):
+def irfft(x, n: int, axis=-1, *, norm=None):
     """1D complex-to-real inverse of :func:`rfft`; ``n`` is the output
     length (the half spectrum does not determine parity)."""
-    x = jnp.asarray(x)
+    x, moved = _to_last(jnp.asarray(x), axis)
     h1 = int(x.shape[-1])
     if h1 != n // 2 + 1:
         raise InvalidConfiguration(
@@ -159,4 +183,5 @@ def irfft(x, n: int, *, norm=None):
     plan = _plan((n,), batch, _precision_of(x.dtype), Domain.REAL,
                  _canon_norm(norm))
     y = plan.compute_backward(x.reshape(-1))
-    return y.reshape(*lead, n)
+    y = y.reshape(*lead, n)
+    return jnp.moveaxis(y, -1, axis) if moved else y

@@ -252,6 +252,85 @@ def _(log):
     _assert_close(np.asarray(y), ref, n, "BI")
 
 
+@check("functional API (fft/ifft, rfft/irfft, ortho norm)")
+def _(log):
+    from portfft_tpu import functional as F
+
+    x = _rand(8 * 1024, 11).reshape(8, 1024)
+    got = np.asarray(F.fft(x))
+    ref = np.fft.fft(x)
+    _assert_close(got, ref, 1024, "F.fft")
+    back = np.asarray(F.ifft(got))
+    _assert_close(back, x, 1024, "F.ifft")
+    o = np.asarray(F.fft(x, norm="ortho"))
+    _assert_close(o, np.fft.fft(x, norm="ortho"), 1024, "ortho")
+    r = np.random.default_rng(12).uniform(-1, 1, (4, 2048)).astype(
+        np.float32
+    )
+    spec = np.asarray(F.rfft(r))
+    _assert_close(spec, np.fft.rfft(r), 2048, "F.rfft")
+    rt = np.asarray(F.irfft(spec, 2048))
+    _assert_close(rt, r, 2048, "F.irfft")
+
+
+@check("apply() inside a user jit (N=4096)")
+def _(log):
+    import jax
+    import jax.numpy as jnp
+
+    n, b = 4096, 8
+    plan = Descriptor(lengths=[n], number_of_transforms=b).commit()
+    x = _rand(b * n, 13).reshape(b, n)
+
+    fn = jax.jit(lambda v: jnp.abs(plan.apply(v)) ** 2)
+    got = np.asarray(fn(jnp.asarray(x)))
+    ref = np.abs(np.fft.fft(x)) ** 2
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+
+@check("ds / ct tuned-variant overrides (fused2 + multidim)")
+def _(log):
+    import jax.numpy as jnp
+
+    from portfft_tpu import fastpath
+    from portfft_tpu.enums import Direction
+
+    n, b = 4096, 64
+    plan = Descriptor(lengths=[n], number_of_transforms=b).commit(
+        use_pallas=True
+    )
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    assert entry is not None and entry[0] == "fused2", entry
+    fn = fastpath.build_fn(
+        plan, Direction.FORWARD, entry, 2 * b * n,
+        overrides={"eng": 4, "ds": 1},
+    )
+    x = _rand(b * n, 14)
+    xr = np.ascontiguousarray(x.view(np.float32))
+    got = np.asarray(fn(jnp.asarray(xr), plan._bank_arrays)).view(
+        np.complex64
+    )
+    _assert_close(got, np.fft.fft(x.reshape(b, n)).reshape(-1), n, "ds")
+
+    md = Descriptor(lengths=[64, 256], number_of_transforms=8).commit(
+        use_pallas=True
+    )
+    mentry = md._raw_fast.get(Direction.FORWARD)
+    assert mentry is not None and mentry[0] == "multidim", mentry
+    mfn = fastpath.build_fn(
+        md, Direction.FORWARD, mentry, 2 * 8 * 64 * 256,
+        overrides={"ct": 512},
+    )
+    z = _rand(8 * 64 * 256, 15)
+    zr = np.ascontiguousarray(z.view(np.float32))
+    mg = np.asarray(mfn(jnp.asarray(zr), md._bank_arrays)).view(
+        np.complex64
+    )
+    mref = np.fft.fft2(z.reshape(8, 64, 256)).reshape(-1)
+    _assert_close(mg, mref, 64 * 256, "ct")
+
+
 @check("misuse raises (short buffer / out= on IN_PLACE / fp64)")
 def _(log):
     plan = Descriptor(lengths=[256], number_of_transforms=4).commit()

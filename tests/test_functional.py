@@ -72,6 +72,36 @@ def test_rfft_irfft():
         F.irfft(jnp.asarray(got), 100)
 
 
+def test_fft_axis_and_n():
+    """numpy signature parity: axis= transforms a non-last axis; n= pads
+    or truncates before the transform."""
+    x = (_rng(21).uniform(-1, 1, (32, 5))
+         + 1j * _rng(22).uniform(-1, 1, (32, 5))).astype(np.complex64)
+    got = np.asarray(F.fft(x, axis=0))
+    assert np.allclose(got, np.fft.fft(x, axis=0), atol=1e-4)
+    y = (_rng(23).uniform(-1, 1, (3, 100))
+         + 1j * _rng(24).uniform(-1, 1, (3, 100))).astype(np.complex64)
+    assert np.allclose(np.asarray(F.fft(y, n=128)),
+                       np.fft.fft(y, n=128), atol=1e-4)
+    assert np.allclose(np.asarray(F.fft(y, n=64)),
+                       np.fft.fft(y, n=64), atol=1e-4)
+    r = _rng(25).uniform(-1, 1, (16, 4)).astype(np.float32)
+    assert np.allclose(np.asarray(F.rfft(r, axis=0)),
+                       np.fft.rfft(r, axis=0), atol=1e-3)
+    spec = np.fft.rfft(r, axis=0).astype(np.complex64)
+    assert np.allclose(np.asarray(F.irfft(jnp.asarray(spec), 16, axis=0)),
+                       r, atol=1e-3)
+
+
+def test_rfft_jax_input_repairs_raw_spectrum():
+    """jax-array input takes the raw interleaved-pairs return convention;
+    the wrapper must re-pair it through the layout-safe helper."""
+    x = _rng(20).uniform(-1, 1, (6, 128)).astype(np.float32)
+    got = np.asarray(F.rfft(jnp.asarray(x)))
+    assert got.shape == (6, 65) and np.iscomplexobj(got)
+    assert np.allclose(got, np.fft.rfft(x), atol=1e-3)
+
+
 def test_plan_cache_reuse():
     x = (_rng(9).uniform(-1, 1, (2, 64))
          + 1j * _rng(10).uniform(-1, 1, (2, 64))).astype(np.complex64)

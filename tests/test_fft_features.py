@@ -217,6 +217,14 @@ def test_multidim_3d_128():
     run_test(lengths=[128, 128, 128], number_of_transforms=1)
 
 
+@pytest.mark.parametrize("lengths", [[4, 65536], [65536, 4]])
+def test_multidim_with_global_axis(lengths):
+    """Multi-dim where one axis plans GLOBAL (two-pass): the reference
+    throws for GLOBAL + multi-dim (committed_descriptor_impl.hpp:757-764);
+    here the per-axis executors compose, in either axis position."""
+    run_test(lengths=lengths, number_of_transforms=2)
+
+
 # --- raw interleaved float buffers (the reference's Scalar* view) ------------
 
 

@@ -366,6 +366,14 @@ class CommittedDescriptor:
         # count by the stride/distance walk).
         if idx.size and idx.max() < 2**31:
             idx = idx.astype(np.int32)
+        if idx.size > (1 << 26):  # 64M entries = 256 MB int32
+            from .utils.logging import warn
+
+            warn(
+                "irregular stride layout materializes a "
+                f"{idx.size >> 20}M-entry index array per call; regular "
+                "(rectangle) strides run as pure streaming ops instead"
+            )
         return idx
 
     def _regular_1d(self, direction: Direction):

@@ -331,8 +331,14 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         if kind == "realb" and flat_len != batch * (n0 + 2):
             return None
         # the sub-transform reuses any 1D tuning measured at its length
+        # (global2 winners are keyed by split: n{h}_g{G1}x{G2})
+        if sub[0] == "global2":
+            hp = committed.plans[h]
+            sub_key = f"n{h}_g{hp.sub[0].n}x{hp.sub[1].n}"
+        else:
+            sub_key = f"n{h}"
         sub_over = tuning.lookup(
-            committed.config.name, sub[0], f"n{h}"
+            committed.config.name, sub[0], sub_key
         ) or {}
         subfn = build_fn(
             committed, direction, sub, 2 * batch * h,
@@ -481,7 +487,12 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         # engine selection: 2 = the plane two-pass engine (default — it
         # won every round-3 A/B, see docs/ROUND3.md), 3 = the interleaved
         # v3 engine, reachable via the autotuner's {"eng": 3} variants.
-        eng = overrides.get("eng", 2)
+        # Plans only v3 covers (fused G1 with 128 % a != 0) force eng 3 —
+        # the v2 engine declines them and the XLA executor is slower.
+        v2_ok = pallas_global.global2_raw_supported(
+            plan0, committed.config.direct_threshold
+        )
+        eng = overrides.get("eng", 2 if v2_ok else 3)
         fn3 = None
         if eng == 3 and g3info is not None:
             from .ops import pallas_global3

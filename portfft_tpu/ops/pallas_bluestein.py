@@ -49,9 +49,9 @@ from .pallas_global import (
     _fold_scratches,
     _lane_dft,
     _pick_tile,
-    _sub_table_names,
-    _sub_table_names_mm,
     global2_supported,
+    mm_enabled,
+    sub_tables,
 )
 
 
@@ -74,12 +74,6 @@ def supported(plan: Plan1D, config) -> bool:
     return valid_rows(plan.n, g2) <= g1
 
 
-def _names(sub: Plan1D, sign: int, bank_keys, mm_ok: bool):
-    if mm_ok:
-        nm = _sub_table_names_mm(sub, sign, bank_keys)
-        if nm is not None:
-            return nm, True
-    return _sub_table_names(sub, sign, bank_keys), False
 
 
 def bluestein_call(
@@ -98,7 +92,7 @@ def bluestein_call(
     g1, g2 = g1p.n, g2p.n
     nv = valid_rows(n, g2)
     prec = _kernel_precision(precision)
-    mm_ok = prec == "x3"
+    mm_ok = mm_enabled(prec)  # shared gate incl. PORTFFT_ENGINE_MM
 
     pre_k = bank_keys.get(("BPRE", n, sign))
     post_k = bank_keys.get(("BPOST", n, sign))
@@ -110,18 +104,18 @@ def bluestein_call(
 
     # conv directions are fixed (-1 forward, +1 backward) for either user
     # direction; the user sign lives in the chirp tables.
-    names_f1, mm_f1 = _names(g1p, -1, bank_keys, mm_ok)
-    names_f2, mm_f2 = _names(g2p, -1, bank_keys, mm_ok)
-    names_b2, mm_b2 = _names(g2p, +1, bank_keys, mm_ok)
-    names_b1, mm_b1 = _names(g1p, +1, bank_keys, mm_ok)
+    names_f1, mm_f1 = sub_tables(g1p, -1, bank_keys, mm_ok)
+    names_f2, mm_f2 = sub_tables(g2p, -1, bank_keys, mm_ok)
+    names_b2, mm_b2 = sub_tables(g2p, +1, bank_keys, mm_ok)
+    names_b1, mm_b1 = sub_tables(g1p, +1, bank_keys, mm_ok)
 
     vmem = config.vmem_bytes
     t1 = _pick_tile(g2, g1p, g1, vmem * 5 // 8, 512, 128)
     # the middle pass runs two lane-DFT stages + three streamed tables:
     # halve the budget to double the per-tile estimate
     t2 = _pick_tile(g1, g2p, g2, vmem * 5 // 16, 512, 128)
-    t3 = _pick_tile(g2, g1p, g1, vmem * 5 // 8, 512, 128)
-    if not (t1 and t2 and t3):
+    t3 = t1  # pass 3 shares pass 1's access pattern and budget
+    if not (t1 and t2):
         return None
 
     lead = xr.shape[:-1]

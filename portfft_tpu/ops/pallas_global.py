@@ -91,6 +91,24 @@ def _sub_table_names_mm(sub: Plan1D, sign: int, bank_keys):
     return [ks + "k", u + "r", u + "i"] + [pk + str(j) for j in range(1, 7)]
 
 
+def mm_enabled(prec) -> bool:
+    """Widened-matmul sub-DFT gate: x3-grade precision, with the
+    PORTFFT_ENGINE_MM=0 A/B escape hatch (read at trace time).  The single
+    source for every engine — two-pass plane/raw and the fused Bluestein
+    engine must agree."""
+    return prec == "x3" and os.environ.get("PORTFFT_ENGINE_MM", "1") != "0"
+
+
+def sub_tables(sub: Plan1D, sign: int, bank_keys, mm_ok: bool):
+    """(names, use_mm): the widened-matmul table set when enabled and
+    banked, else the plain lane-DFT set."""
+    if mm_ok:
+        nm = _sub_table_names_mm(sub, sign, bank_keys)
+        if nm is not None:
+            return nm, True
+    return _sub_table_names(sub, sign, bank_keys), False
+
+
 def _fold_scratches(sub: Plan1D, t: int, dtype) -> list:
     """Restack scratch refs for a FUSED sub (none for DIRECT).  Oriented
     (128, a, t) so the lane dimension is the (large) tile width — at t=128
@@ -293,20 +311,12 @@ def global2_call(
     x3r = xr.reshape(b, g1, g2)
     x3i = xi.reshape(b, g1, g2)
 
-    names1 = _sub_table_names(g1p, sign, bank_keys)
-    names2 = _sub_table_names(g2p, sign, bank_keys)
     fused1 = g1p.level != Level.DIRECT
     # widened-matmul sub-DFTs (default at x3-grade precision; measured
-    # matmul-bound — see _lane_dft docstring).  PORTFFT_ENGINE_MM=0
-    # disables (A/B escape hatch; the toggle is read at trace time).
-    mm_ok = prec == "x3" and os.environ.get("PORTFFT_ENGINE_MM", "1") != "0"
-    n1mm = _sub_table_names_mm(g1p, sign, bank_keys) if mm_ok else None
-    n2mm = _sub_table_names_mm(g2p, sign, bank_keys) if mm_ok else None
-    use_mm1, use_mm2 = n1mm is not None, n2mm is not None
-    if use_mm1:
-        names1 = n1mm
-    if use_mm2:
-        names2 = n2mm
+    # matmul-bound — see _lane_dft docstring)
+    mm_ok = mm_enabled(prec)
+    names1, use_mm1 = sub_tables(g1p, sign, bank_keys, mm_ok)
+    names2, use_mm2 = sub_tables(g2p, sign, bank_keys, mm_ok)
 
     t1 = _pick_tile(g2, g1p, g1, config.vmem_bytes * 3 // 4, 512, 128)
     t2 = _pick_tile(g1, g2p, g2, config.vmem_bytes * 3 // 4, 512, 128)
@@ -812,26 +822,24 @@ def global2_raw_call(
 
     x3 = raw.reshape(batch, g1, 2 * g2)
 
-    names1 = _sub_table_names(g1p, sign, bank_keys)
-    names2 = _sub_table_names(g2p, sign, bank_keys)
+    if not global2_raw_supported(plan, config.direct_threshold):
+        return None  # v3-only plan shapes (e.g. 128 % a != 0 fused G1)
     fused1 = g1p.level != Level.DIRECT
     if use_mm is None:
-        mm_ok = (
-            prec == "x3"
-            and os.environ.get("PORTFFT_ENGINE_MM", "1") != "0"
-        )
+        mm_ok = mm_enabled(prec)
     else:
         mm_ok = bool(use_mm) and prec == "x3"
-    n1mm = _sub_table_names_mm(g1p, sign, bank_keys) if mm_ok else None
-    n2mm = _sub_table_names_mm(g2p, sign, bank_keys) if mm_ok else None
-    use_mm1, use_mm2 = n1mm is not None, n2mm is not None
-    if use_mm1:
-        names1 = n1mm
-    if use_mm2:
-        names2 = n2mm
+    names1, use_mm1 = sub_tables(g1p, sign, bank_keys, mm_ok)
+    names2, use_mm2 = sub_tables(g2p, sign, bank_keys, mm_ok)
 
     # pass-1 lane tile is 2·t1 interleaved scalars -> t1 multiple of 64;
-    # pass-2 reads t2 plane lanes -> multiple of 128
+    # pass-2 reads t2 plane lanes -> multiple of 128.  Tuned overrides are
+    # validated like every other override consumer — a stale cache entry
+    # must not leave tail tiles unwritten (grid floors g2 // t1).
+    if t1_override and (g2 % t1_override or t1_override % 64):
+        t1_override = 0
+    if t2_override and (g1 % t2_override or t2_override % 128):
+        t2_override = 0
     t1 = t1_override or _pick_tile(
         g2, g1p, g1, config.vmem_bytes * 3 // 4, 256, 64
     )

@@ -158,3 +158,21 @@ def test_global2_ds_override_parity(tmp_cache):
     flat = oracle.materialize(desc, x, Direction.FORWARD)
     out = np.asarray(plan2.compute_forward(flat))
     oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
+
+
+def test_global2_stale_tile_override_falls_back(tmp_cache):
+    """A tuned t1 that does not divide g2 (stale/hand-edited cache) must
+    fall back to the static pick — the grid floors g2 // t1, so honoring
+    it would leave tail tiles unwritten (silently wrong output)."""
+    n, b = 65536, 2
+    desc = Descriptor(lengths=[n], number_of_transforms=b)
+    plan0 = desc.commit(use_pallas=True)
+    key = tuning._entry_key(plan0, "global2")
+    tuning.record(plan0.config.name, "global2", key,
+                  {"eng": 2, "t1": 384, "t2": 384})
+    plan = desc.commit(use_pallas=True)
+    x = oracle.gen_input(desc, 6)
+    ref = oracle.reference_output(desc, x, Direction.FORWARD)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)

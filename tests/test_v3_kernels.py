@@ -187,3 +187,38 @@ def test_bluestein_fused_post_hooks():
     ref = np.fft.fft(x)
     rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
     assert rel < 1e-4, rel
+
+
+def test_v3_only_global_plan_does_not_crash(tmp_path, monkeypatch):
+    """A GLOBAL plan whose fused G1 = a*128 has 128 % a != 0 is covered by
+    the v3 engine only; the fast path must route it to eng 3 (or decline
+    cleanly), never KeyError inside the v2 engine (round-3 review)."""
+    from portfft_tpu import tuning
+
+    monkeypatch.setattr(tuning, "_USER_PATH", str(tmp_path / "t.json"))
+    tuning._reset_for_tests()
+    try:
+        n = 640 * 512  # G1=640 = fused [5, 128]: 128 % 5 != 0
+        cfg_name = pfft.resolve_device_config().name
+        tuning.record(cfg_name, "global_split", f"n{n}",
+                      {"g1": 640, "g2": 512})
+        plan = pfft.Descriptor(
+            lengths=[n], number_of_transforms=1
+        ).commit(use_pallas=True)
+        p0 = plan.plans[n]
+        assert p0.level == Level.GLOBAL and p0.sub[0].n == 640
+        from portfft_tpu.ops import pallas_global
+
+        assert not pallas_global.global2_raw_supported(
+            p0, plan.config.direct_threshold
+        )
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            np.complex64
+        )
+        y = np.asarray(plan.compute_forward(x))
+        ref = np.fft.fft(x)
+        rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+        assert rel < 1e-4, rel
+    finally:
+        tuning._reset_for_tests()

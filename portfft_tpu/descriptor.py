@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from .enums import ComplexStorage, Direction, Domain, Placement
+from .exceptions import InvalidConfiguration
 from .utils.layout import default_strides, flattened_length
 
 _PRECISION_ALIASES = {
@@ -98,6 +99,13 @@ class Descriptor:
 
     def __post_init__(self):
         self.lengths = [int(x) for x in self.lengths]
+        if not self.lengths:
+            # checked again in commit-time validation, but domain_lengths
+            # below reads lengths[-1] for REAL — raise the typed error
+            # instead of an IndexError
+            raise InvalidConfiguration(
+                "Invalid lengths, must have at least 1 dimension"
+            )
         self.precision = _canonical_precision(self.precision)
         if self.forward_strides is None:
             self.forward_strides = default_strides(self.lengths)

@@ -119,23 +119,44 @@ class DistributedFFT:
         if use_pallas is None:
             use_pallas = _jax.default_backend() == "tpu"
         self.use_pallas = use_pallas and self.precision == np.float32
+        from ..exceptions import UnsupportedConfiguration
+
+        if seq_axis not in mesh.shape:
+            raise UnsupportedConfiguration(
+                f"mesh has no axis {seq_axis!r} (axes: "
+                f"{tuple(mesh.shape)})"
+            )
         p = mesh.shape[seq_axis]
         self.num_shards = p
-        self.g1, self.g2 = _balanced_split(n, p)
+        try:
+            self.g1, self.g2 = _balanced_split(n, p)
+        except ValueError as exc:
+            raise UnsupportedConfiguration(str(exc)) from exc
 
-        cfg = resolve_device_config(device)
+        self._cfg = resolve_device_config(device)
         itemsize = self.precision.itemsize
-        self.plan1 = plan_1d(self.g1, cfg, itemsize)
-        self.plan2 = plan_1d(self.g2, cfg, itemsize)
+        self.plan1 = plan_1d(self.g1, self._cfg, itemsize)
+        self.plan2 = plan_1d(self.g2, self._cfg, itemsize)
 
         bank = xla_fft.TwiddleBank(self.precision)
         self._bank_keys: dict = {}
+        # The dense (g2, g1) inter-factor table is n complex elements —
+        # the one table that scales with the full transform.  Place it
+        # sharded over the mesh axis directly (each device holds only its
+        # (g2/p, g1) slice); everything else (sub-plan tables) is small
+        # and rides the replicated bank.
+        self._tw: dict = {}
+        t_sharding = NamedSharding(mesh, P(seq_axis, None))
         for sign in (-1, +1):
             xla_fft.collect_bank_keys(self.plan1, sign, bank, self._bank_keys)
             xla_fft.collect_bank_keys(self.plan2, sign, bank, self._bank_keys)
-            self._bank_keys[("T", self.g1, self.g2, sign)] = bank.twiddle(
-                self.g1, self.g2, sign
+            tkey = bank.twiddle(self.g1, self.g2, sign)
+            self._bank_keys[("T", self.g1, self.g2, sign)] = tkey
+            self._tw[sign] = tuple(
+                jax.device_put(bank.host.pop(tkey + s), t_sharding)
+                for s in ("r", "i")
             )
+            bank.host.pop(tkey, None)
         self._bank_arrays = bank.device_arrays(device)
         self._fns: dict = {}
 
@@ -158,13 +179,15 @@ class DistributedFFT:
         if self.use_pallas:
             import functools
 
-            from ..config import resolve_device_config
             from ..ops import pallas_fft
 
             leaf = functools.partial(
                 pallas_fft.leaf_dispatch,
                 bank_keys=keys,
-                config=resolve_device_config(),
+                # the same DeviceConfig the plans were sized against —
+                # a mismatch would gate kernel tiles on a different VMEM
+                # budget than the planner assumed
+                config=self._cfg,
             )
 
         def fn(xr, xi, tw_r, tw_i, bank):
@@ -214,8 +237,8 @@ class DistributedFFT:
 
         x_spec = self._x_spec()
         t_spec = P(self.seq_axis, None)
-        bank_spec = P()  # replicated tables
-        tkey = self._bank_keys[("T", self.g1, self.g2, sign)]
+        bank_spec = P()  # replicated (small sub-plan) tables
+        tw_r, tw_i = self._tw[sign]
 
         local = self._local_fn(sign)
         kwargs = dict(
@@ -230,13 +253,7 @@ class DistributedFFT:
 
         @jax.jit
         def fn(xr, xi):
-            return mapped(
-                xr,
-                xi,
-                self._bank_arrays[tkey + "r"],
-                self._bank_arrays[tkey + "i"],
-                self._bank_arrays,
-            )
+            return mapped(xr, xi, tw_r, tw_i, self._bank_arrays)
 
         return fn
 
@@ -306,25 +323,33 @@ class DistributedCommitted:
                 f"number_of_transforms={d.number_of_transforms} is not "
                 f"divisible by the {batch_axis!r} mesh axis ({bp})"
             )
-        from ..committed import CommittedDescriptor
-
         self.descriptor = d
         self.mesh = mesh
         self.batch_axis = batch_axis
         self.seq_axis = seq_axis
-        self.committed = CommittedDescriptor(
-            d, device=device, use_pallas=use_pallas, **options
-        )
+        self.precision = np.dtype(d.precision)
+        self.committed = None
         self._dfft = None
         if seq_axis is not None:
+            # seq-sharded path: do NOT build the single-device plan — a
+            # full-n commit would precompute and upload the dense GLOBAL
+            # twiddle bank to one device (the memory the sharding exists
+            # to avoid); DistributedFFT builds only the sub-plans and
+            # places the big table sharded.
             self._dfft = DistributedFFT(
                 d.lengths[0],
                 mesh,
                 seq_axis=seq_axis,
                 batch_axis=batch_axis,
-                precision=self.committed.precision,
+                precision=self.precision,
                 device=device,
                 use_pallas=use_pallas,
+            )
+        else:
+            from ..committed import CommittedDescriptor
+
+            self.committed = CommittedDescriptor(
+                d, device=device, use_pallas=use_pallas, **options
             )
         self._fns: dict = {}
 
@@ -367,7 +392,7 @@ class DistributedCommitted:
             else self.descriptor.forward_scale
         )
         if scale != 1.0:
-            s = np.array(scale, dtype=self.committed.precision)
+            s = np.array(scale, dtype=self.precision)
             yr = yr * s
             yi = yi * s
         return yr, yi

@@ -21,7 +21,9 @@ import functools
 import numpy as np
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)  # bounded: distributed-scale tables can
+# reach n elements each; an unbounded cache would pin GBs of f64 planes in
+# host memory for the process lifetime
 def _dft_matrix_f64(n: int, sign: int) -> tuple:
     """n×n DFT matrix W[j, k] = exp(sign · 2πi · j·k / n) in float64.
 
@@ -45,7 +47,7 @@ def dft_matrix(n: int, sign: int, dtype) -> tuple[np.ndarray, np.ndarray]:
     return re.astype(dtype), im.astype(dtype)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _twiddles_f64(f: int, m: int, sign: int) -> tuple:
     """Inter-factor twiddles T[j, t] = exp(sign·2πi·j·t/(f·m)), shape (f, m).
 
@@ -68,7 +70,7 @@ def twiddles(f: int, m: int, sign: int, dtype) -> tuple[np.ndarray, np.ndarray]:
     return re.astype(dtype), im.astype(dtype)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _twiddles_n_f64(f: int, m: int, n: int, sign: int) -> tuple:
     """Generalized twiddle block T[j, t] = exp(sign·2πi·j·t/n), shape (f, m),
     for an arbitrary root order ``n`` (≥ f·m).  Used by the global engine's

@@ -49,7 +49,9 @@ def _validate_strides_distance_basic(
             raise InvalidConfiguration(
                 f"Invalid {domain_str} stride[{i}]={stride}, must be positive"
             )
-    if number_of_transforms > 1 and distance == 0:
+    if number_of_transforms > 1 and distance <= 0:
+        # negative distances would walk before the buffer start and the
+        # overlap checks' modular walk assumes a positive step
         raise InvalidConfiguration(
             f"Invalid {domain_str} distance {distance}, must be positive for "
             "batched FFTs"

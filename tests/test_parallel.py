@@ -179,3 +179,47 @@ def test_descriptor_commit_mesh_rejects_strided(devices):
     )
     with pytest.raises(UnsupportedConfiguration):
         desc.commit(mesh=mesh)
+
+
+def test_distributed_typed_errors():
+    """Bad seq_axis / unshardable n surface as the library's typed
+    exceptions, not KeyError/ValueError (review fix)."""
+    import pytest
+
+    from portfft_tpu.exceptions import UnsupportedConfiguration
+    from portfft_tpu.parallel.sharded import DistributedFFT
+
+    mesh = make_mesh((2, 4), ("dp", "sp"))
+    with pytest.raises(UnsupportedConfiguration, match="no axis"):
+        DistributedFFT(1024, mesh, seq_axis="nope")
+    with pytest.raises(UnsupportedConfiguration, match="cannot shard"):
+        DistributedFFT(1000, mesh, seq_axis="sp")  # no split with 4 | both
+
+
+def test_distributed_commit_skips_single_device_plan():
+    """commit(mesh=..., seq_axis=...) must not build the full single-device
+    plan (its dense GLOBAL twiddle bank is the memory the sharding avoids);
+    the big inter-factor table is placed sharded over the mesh."""
+    import numpy as np
+
+    import portfft_tpu as pfft
+
+    mesh = make_mesh((2, 4), ("dp", "sp"))
+    desc = pfft.Descriptor(lengths=[4096], number_of_transforms=8)
+    dplan = desc.commit(mesh=mesh, batch_axis="dp", seq_axis="sp")
+    assert dplan.committed is None
+    tw_r, tw_i = dplan._dfft._tw[-1]
+    assert tw_r.shape == (dplan._dfft.g2, dplan._dfft.g1)
+    # sharded placement: each addressable shard holds g2/p rows
+    p = dplan._dfft.num_shards
+    shard_shapes = {s.data.shape for s in tw_r.addressable_shards}
+    assert shard_shapes == {(dplan._dfft.g2 // p, dplan._dfft.g1)}
+    # and it still computes correctly end to end
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((8, 4096)).astype(np.float32)
+    xi = rng.standard_normal((8, 4096)).astype(np.float32)
+    yr, yi = dplan.compute_forward(x, xi)
+    ref = np.fft.fft(x + 1j * xi)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel

@@ -121,3 +121,26 @@ def test_multidim_non_default_layout_unsupported():
             forward_strides=[1, 4],
             backward_strides=[1, 4],
         )
+
+
+def test_negative_distance_rejected():
+    """Negative distances walked before the buffer start and slipped past
+    the == 0 check while the overlap walk early-returned (review fix)."""
+    from portfft_tpu import Descriptor, InvalidConfiguration
+    import pytest
+
+    with pytest.raises(InvalidConfiguration, match="distance"):
+        Descriptor(
+            lengths=[16], number_of_transforms=4,
+            forward_distance=-1, backward_distance=-1,
+        ).commit()
+
+
+def test_empty_lengths_real_domain_typed_error():
+    """lengths=[] with REAL domain used to IndexError in __post_init__
+    before validation could raise the typed error."""
+    from portfft_tpu import Descriptor, Domain, InvalidConfiguration
+    import pytest
+
+    with pytest.raises(InvalidConfiguration, match="at least 1"):
+        Descriptor(lengths=[], domain=Domain.REAL)

@@ -156,17 +156,63 @@ def rfft(x, n=None, axis=-1, *, norm=None):
     plan = _plan((n,), batch, _precision_of(x.dtype), Domain.REAL,
                  _canon_norm(norm))
     y = plan.compute_forward(x.reshape(-1))
-    if not jnp.iscomplexobj(y):
-        # jax input -> the spectrum comes back as raw interleaved float
-        # pairs; re-pair through the layout-safe helper (a naive
-        # reshape(-1, 2) pads the 2-wide lane dim to 128 on TPU — 64×
-        # memory blowup, see CommittedDescriptor._deinterleave)
-        import jax as _jax
-
-        re, im = plan._deinterleave(y)
-        y = _jax.lax.complex(re, im)
-    y = y.reshape(*lead, n // 2 + 1)
+    y = _repair(plan, y).reshape(*lead, n // 2 + 1)
     return jnp.moveaxis(y, -1, axis) if moved else y
+
+
+def _repair(plan, y):
+    """Re-pair a raw interleaved float spectrum (jax-input convention)
+    into complex through the layout-safe helper."""
+    if jnp.iscomplexobj(y):
+        return y
+    import jax as _jax
+
+    re, im = plan._deinterleave(y)
+    return _jax.lax.complex(re, im)
+
+
+def rfftn(x, *, ndim: int | None = None, norm=None):
+    """N-D real-to-complex DFT over the last ``ndim`` axes (default all):
+    R2C on the last axis (-> n//2+1 bins), C2C on the others — numpy
+    rfftn semantics."""
+    x = jnp.asarray(x)
+    k = ndim or x.ndim
+    lengths = tuple(int(s) for s in x.shape[-k:])
+    lead = x.shape[:-k]
+    batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    plan = _plan(lengths, batch, _precision_of(x.dtype), Domain.REAL,
+                 _canon_norm(norm))
+    y = _repair(plan, plan.compute_forward(x.reshape(-1)))
+    return y.reshape(*lead, *lengths[:-1], lengths[-1] // 2 + 1)
+
+
+def rfft2(x, *, norm=None):
+    """2D real-to-complex DFT over the last two axes."""
+    return rfftn(x, ndim=2, norm=norm)
+
+
+def irfftn(x, s, *, norm=None):
+    """N-D inverse of :func:`rfftn`; ``s`` is the full output lengths (the
+    half spectrum does not determine the last axis's parity)."""
+    x = jnp.asarray(x)
+    lengths = tuple(int(v) for v in s)
+    k = len(lengths)
+    h1 = lengths[-1] // 2 + 1
+    if tuple(x.shape[-k:]) != (*lengths[:-1], h1):
+        raise InvalidConfiguration(
+            f"half spectrum shape {x.shape[-k:]} does not match s={s} "
+            f"(expected {(*lengths[:-1], h1)})"
+        )
+    lead = x.shape[:-k]
+    batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    plan = _plan(lengths, batch, _precision_of(x.dtype), Domain.REAL,
+                 _canon_norm(norm))
+    y = plan.compute_backward(x.reshape(-1))
+    return y.reshape(*lead, *lengths)
+
+
+def irfft2(x, s, *, norm=None):
+    return irfftn(x, s, norm=norm)
 
 
 def irfft(x, n: int, axis=-1, *, norm=None):

@@ -102,6 +102,21 @@ def test_rfft_jax_input_repairs_raw_spectrum():
     assert np.allclose(got, np.fft.rfft(x), atol=1e-3)
 
 
+def test_rfft2_rfftn_match_numpy():
+    x = _rng(26).uniform(-1, 1, (3, 8, 32)).astype(np.float32)
+    got = np.asarray(F.rfft2(x))
+    ref = np.fft.rfft2(x)
+    assert got.shape == ref.shape == (3, 8, 17)
+    assert np.allclose(got, ref, atol=1e-3)
+    got3 = np.asarray(F.rfftn(x))
+    ref3 = np.fft.rfftn(x)
+    assert np.allclose(got3, ref3, atol=1e-3)
+    back = np.asarray(F.irfft2(jnp.asarray(got), (8, 32)))
+    assert np.allclose(back, x, atol=1e-4)
+    with pytest.raises(pfft.InvalidConfiguration, match="half spectrum"):
+        F.irfftn(jnp.asarray(got), (8, 30))
+
+
 def test_plan_cache_reuse():
     x = (_rng(9).uniform(-1, 1, (2, 64))
          + 1j * _rng(10).uniform(-1, 1, (2, 64))).astype(np.complex64)

@@ -736,9 +736,12 @@ class CommittedDescriptor:
             )
             fr = jnp.stack([zr, zi], axis=-1).reshape(*zr.shape[:-1], n)
         else:
-            # Hermitian extension of the last axis: X[n-k] = conj(X[k])
-            tail_r = jnp.flip(xr[..., 1:h], axis=-1)
-            tail_i = -jnp.flip(xi[..., 1:h], axis=-1)
+            # Hermitian extension of the last axis: X[n-k] = conj(X[k]),
+            # k = 1 .. n - h1 (parity-correct: even n -> h-1 elements,
+            # odd n -> h elements)
+            h1 = n // 2 + 1
+            tail_r = jnp.flip(xr[..., 1 : n - h1 + 1], axis=-1)
+            tail_i = -jnp.flip(xi[..., 1 : n - h1 + 1], axis=-1)
             fr = jnp.concatenate([xr, tail_r], axis=-1)
             fi = jnp.concatenate([xi, tail_i], axis=-1)
             fr, fi = xla_fft.exec_plan(
@@ -938,6 +941,11 @@ class CommittedDescriptor:
                 fn = self._get_compiled(key, builder, donate)
                 return fn(*args)
             except Exception as exc2:
+                if donate and "deleted" in str(exc2):
+                    # the failed first executable already consumed a
+                    # donated input; surface the ORIGINAL failure, not
+                    # the confusing deleted-array retry error
+                    raise exc
                 if _is_vmem_exhaustion(exc2):
                     raise OutOfVmemError(
                         f"entry {key!r} exhausts device memory on both the "
@@ -1032,6 +1040,34 @@ class CommittedDescriptor:
             return out_r, out_i
         idx = self._indices(direction)
         return re[idx], im[idx]
+
+    def _df64_scatter(self, dst, values, direction) -> None:
+        """Write canonical (batch·n,) host values into the flat buffer
+        ``dst`` without materializing index arrays for PACKED / BI /
+        regular-strided layouts (symmetric to _df64_canonicalize; only
+        irregular layouts pay the index walk)."""
+        d = self.descriptor
+        lengths = d.domain_lengths(direction)
+        layout = get_layout(d, direction)
+        batch = d.number_of_transforms
+        n = math.prod(lengths)
+        offset = d.get_offset(direction)
+        v = np.asarray(values).reshape(batch, n)
+        if layout == Layout.PACKED:
+            dst[offset : offset + batch * n] = v.reshape(-1)
+            return
+        if layout == Layout.BATCH_INTERLEAVED:
+            dst[offset : offset + batch * n] = v.T.reshape(-1)
+            return
+        reg = self._regular_1d(direction)
+        if reg is not None:
+            o, st, dist, n1, b = reg
+            for bi in range(b):
+                base = o + bi * dist
+                dst[base : base + (n1 - 1) * st + 1 : st] = v[bi]
+            return
+        idx = self._indices(direction)
+        dst[idx] = v.reshape(idx.shape)
 
     def _compute_df64_real(self, direction, x, x_imag, out):
         """R2C/C2R under the double-double emulation: the real transform
@@ -1146,9 +1182,10 @@ class CommittedDescriptor:
 
         out_dir = _inv(direction)
         need_out = d.get_output_count(direction)
-        idx_out = self._indices(out_dir)
         in_place = d.placement == Placement.IN_PLACE
         if split_store:
+            if isinstance(out, tuple) and out_imag is None:
+                out, out_imag = out  # (re, im) pair like _compute_split
             if in_place:
                 o_re, o_im = re.copy(), im.copy()
             else:
@@ -1166,8 +1203,8 @@ class CommittedDescriptor:
                 raise InvalidConfiguration(
                     f"split output buffers need {need_out} elements"
                 )
-            o_re[idx_out] = yr
-            o_im[idx_out] = yi
+            self._df64_scatter(o_re, yr, out_dir)
+            self._df64_scatter(o_im, yi, out_dir)
             return o_re, o_im
         if in_place:
             o = flat.copy()  # preserve gap elements of the shared buffer
@@ -1184,25 +1221,20 @@ class CommittedDescriptor:
             raise InvalidConfiguration(
                 f"output buffer needs {need_out} complex elements"
             )
-        o[0::2][idx_out] = yr
-        o[1::2][idx_out] = yi
+        self._df64_scatter(o[0::2], yr, out_dir)
+        self._df64_scatter(o[1::2], yi, out_dir)
         return o.view(np.complex128)
 
     def _compute(self, direction, x, x_imag, out, out_imag):
         d = self.descriptor
-        if self._df64:
-            in_place_df = d.placement == Placement.IN_PLACE
-            if in_place_df and (out is not None or out_imag is not None):
-                raise InvalidConfiguration(
-                    "out= must not be given for an IN_PLACE committed "
-                    "descriptor"
-                )
-            return self._compute_df64(direction, x, x_imag, out, out_imag)
-        in_place = d.placement == Placement.IN_PLACE
-        if in_place and (out is not None or out_imag is not None):
+        if d.placement == Placement.IN_PLACE and (
+            out is not None or out_imag is not None
+        ):
             raise InvalidConfiguration(
                 "out= must not be given for an IN_PLACE committed descriptor"
             )
+        if self._df64:
+            return self._compute_df64(direction, x, x_imag, out, out_imag)
         from .enums import Domain
 
         if d.domain == Domain.REAL:
@@ -1478,8 +1510,32 @@ class CommittedDescriptor:
         else:
             flat_out = jnp.zeros(2 * need_out, dtype=self.precision)
 
-        key = ("ileaved", direction, flat_in.shape, flat_out.shape, in_place)
-        donate = (0, 1) if in_place else (1,)
+        if in_place:
+            # one buffer, one donated argnum: passing the same array at
+            # two argnums with both donated is an aliasing error on
+            # backends with real donation — bind raw_out = raw_in inside
+            # the trace instead.
+            inner_builder = lambda: self._traced_interleaved(direction)  # noqa: E731
+
+            def builder():
+                inner = inner_builder()
+                return lambda raw, bank: inner(raw, raw, bank)
+
+            key = ("ileaved_ip", direction, flat_in.shape)
+            result = self._run(
+                key,
+                builder,
+                (0,) if jax.default_backend() != "cpu" else (),
+                flat_in,
+                self._bank_arrays,
+            )
+            return self._from_raw(result, kind)
+
+        key = ("ileaved", direction, flat_in.shape, flat_out.shape,
+               out is None)
+        # donate the output buffer only when the library allocated it — a
+        # user-supplied jax out= array must stay alive for the caller
+        donate = (1,) if out is None else ()
         result = self._run(
             key,
             lambda: self._traced_interleaved(direction),
@@ -1516,8 +1572,28 @@ class CommittedDescriptor:
             o_re = jnp.zeros(need_out, dtype=self.precision)
             o_im = jnp.zeros(need_out, dtype=self.precision)
 
-        key = ("split", direction, flat_re.shape, o_re.shape, in_place)
-        donate = (0, 1, 2, 3) if in_place else (2, 3)
+        if in_place:
+            # same aliasing rule as the interleaved path: bind the output
+            # planes to the input planes inside the trace, donate each
+            # buffer exactly once
+            inner_builder = lambda: self._traced_split(direction)  # noqa: E731
+
+            def builder():
+                inner = inner_builder()
+                return lambda re, im, bank: inner(re, im, re, im, bank)
+
+            key = ("split_ip", direction, flat_re.shape)
+            return self._run(
+                key,
+                builder,
+                (0, 1) if jax.default_backend() != "cpu" else (),
+                flat_re,
+                flat_im,
+                self._bank_arrays,
+            )
+
+        key = ("split", direction, flat_re.shape, o_re.shape, out is None)
+        donate = (2, 3) if out is None else ()
         return self._run(
             key,
             lambda: self._traced_split(direction),

@@ -198,6 +198,12 @@ def _register_real(committed) -> dict:
         return out  # half-length packing inactive (odd or small n)
     if not pallas_real.supported(n0, batch):
         return out
+    if pallas_real._pick_bt(
+        batch, n0 // 2, committed.config.vmem_budget
+    ) is None:
+        # no viable un/retangle tiling at this batch (bt·h must be a
+        # multiple of 128²): registering would only decline at run time
+        return out
     h = n0 // 2
     plan_h = committed.plans[h]
     for direction, sign in (
@@ -259,6 +265,10 @@ def _register_multidim(committed) -> dict:
         ):
             continue
         scale = float(d.get_scale(direction))
+        # NOTE: deliberately narrower than _entry_1d — the multidim row
+        # pass keeps only the mm/v2 kernels (no v1/v3 fallbacks) and
+        # declines fused plans without a fold factor; 1D-only variants
+        # would complicate the per-axis pipeline for no measured gain.
         last = None
         if plan_last.level == Level.DIRECT:
             sup = pallas_fft.direct_raw_supported(
@@ -315,6 +325,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
 
     d = committed.descriptor
     kind = entry[0]
+    explicit = overrides is not None  # autotune measuring a variant
     if overrides is None:
         overrides = tuning.lookup(
             committed.config.name, kind, tuning._entry_key(committed, kind)
@@ -331,15 +342,20 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         if kind == "realb" and flat_len != batch * (n0 + 2):
             return None
         # the sub-transform reuses any 1D tuning measured at its length
-        # (global2 winners are keyed by split: n{h}_g{G1}x{G2})
-        if sub[0] == "global2":
-            hp = committed.plans[h]
-            sub_key = f"n{h}_g{hp.sub[0].n}x{hp.sub[1].n}"
+        # (global2 winners are keyed by split: n{h}_g{G1}x{G2}); an
+        # explicit overrides= from the autotuner applies to the sub —
+        # REAL entries enumerate (and record) the sub's variant space
+        if explicit:
+            sub_over = overrides
         else:
-            sub_key = f"n{h}"
-        sub_over = tuning.lookup(
-            committed.config.name, sub[0], sub_key
-        ) or {}
+            if sub[0] == "global2":
+                hp = committed.plans[h]
+                sub_key = f"n{h}_g{hp.sub[0].n}x{hp.sub[1].n}"
+            else:
+                sub_key = f"n{h}"
+            sub_over = tuning.lookup(
+                committed.config.name, sub[0], sub_key
+            ) or {}
         subfn = build_fn(
             committed, direction, sub, 2 * batch * h,
             overrides=sub_over, plan_n=h,

@@ -115,8 +115,6 @@ def _reset_for_tests() -> None:
 def _variants_for_entry(committed, entry) -> list[dict]:
     kind = entry[0]
     d = committed.descriptor
-    n = d.lengths[0]
-    total = d.number_of_transforms * n
     if kind in ("multidim", "bi_col"):
         # lane tile of the sublane-major column kernel ({} = the static
         # heuristic).  Only cts dividing every column pass's trailing
@@ -137,9 +135,31 @@ def _variants_for_entry(committed, entry) -> list[dict]:
             if rests and all(r % ct == 0 for r in rests):
                 out.append({"ct": ct})
         return out
+    if kind in ("realf", "realb"):
+        # the REAL wrapper's cost is dominated by its half-length complex
+        # sub-transform: enumerate (and record — see autotune) under the
+        # sub-entry's kind/key so build_fn's sub lookup finds the winner
+        sub = entry[1]
+        return _variants_1d(committed, sub[0], d.lengths[0] // 2)
+    return _variants_1d(committed, kind, d.lengths[0])
+
+
+def _variants_1d(committed, kind: str, n: int) -> list[dict]:
+    """Variant space for a 1D raw-fast-path kind at transform length n.
+    Every list leads with {} — the static-heuristic baseline — so a tuned
+    winner can never be slower than the untuned default."""
+    d = committed.descriptor
+    total = d.number_of_transforms * n
     if kind == "direct":
-        chunk = entry[2]
-        out = []
+        from .ops import pallas_fft
+
+        sup = pallas_fft.direct_raw_supported(
+            n, total, int(committed.config.vmem_bytes * 0.75)
+        )
+        if not sup:
+            return []
+        chunk = sup[0]
+        out = [{}]
         for rt in (256, 512, 1024, 2048):
             if (2 * total) % (chunk * rt) == 0:
                 out.append({"rt": rt})
@@ -149,7 +169,7 @@ def _variants_for_entry(committed, entry) -> list[dict]:
 
         plan = committed.plans[n]
         a = plan.factors[0]
-        out = []
+        out = [{}]
         for bt in (1, 2, 4, 8, 16, 32):
             if d.number_of_transforms % bt:
                 continue
@@ -172,7 +192,7 @@ def _variants_for_entry(committed, entry) -> list[dict]:
         plan = committed.plans[n]
         g1p, g2p = plan.sub
         vmem = committed.config.vmem_bytes  # hard bound (skip sure OOMs)
-        out = []
+        out = [{}]
         for t1 in (64, 128, 256, 512):
             for t2 in (128, 256, 512):
                 if (
@@ -288,9 +308,31 @@ def autotune(committed, direction=None, iters: int = 5) -> Optional[dict]:
         return None
     d = committed.descriptor
     total = d.number_of_transforms * d.get_flattened_length()
+    # raw buffer length per entry kind: interleaved complex (2·total),
+    # REAL forward (total real elements), REAL backward (half spectrum
+    # padded rows: total + 2·batch scalars)
+    flat_len = 2 * total
+    if kind == "realf":
+        flat_len = total
+    elif kind == "realb":
+        flat_len = total + 2 * d.number_of_transforms
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(-1, 1, 2 * total).astype(np.float32))
-    key = _entry_key(committed, kind)
+    x = jnp.asarray(rng.uniform(-1, 1, flat_len).astype(np.float32))
+    if kind in ("realf", "realb"):
+        # record under the half-length SUB entry's kind/key — that is
+        # where build_fn's sub lookup reads tuned parameters from (the
+        # variants measured end-to-end through the real wrapper)
+        sub = entry[1]
+        h = d.lengths[0] // 2
+        rec_kind = sub[0]
+        if rec_kind == "global2":
+            hp = committed.plans[h]
+            key = f"n{h}_g{hp.sub[0].n}x{hp.sub[1].n}"
+        else:
+            key = f"n{h}"
+    else:
+        rec_kind = kind
+        key = _entry_key(committed, kind)
     device = committed.config.name
     from .utils.logging import trace
 
@@ -300,7 +342,7 @@ def autotune(committed, direction=None, iters: int = 5) -> Optional[dict]:
     for i, params in enumerate(variants):
         try:
             traced = fastpath.build_fn(
-                committed, direction, entry, 2 * total, overrides=params
+                committed, direction, entry, flat_len, overrides=params
             )
             if traced is None:
                 continue
@@ -317,12 +359,12 @@ def autotune(committed, direction=None, iters: int = 5) -> Optional[dict]:
     times = _measure_round_robin(fns, x, committed._bank_arrays, iters)
     best = None
     for i, t in times.items():
-        gbps = 2 * total * 4 * 2 / t / 1e9
+        gbps = flat_len * 4 * 2 / t / 1e9
         trace(f"autotune {kind}/{key} {variants[i]}: {t*1e3:.3f} ms "
               f"{gbps:.1f} GB/s")
         if best is None or t < best[0]:
             best = (t, variants[i])
-    record(device, kind, key, best[1])
+    record(device, rec_kind, key, best[1])
     # re-register so both directions pick up the tuned parameters
     committed._raw_fast = fastpath.register(committed)
     committed._compiled.clear()

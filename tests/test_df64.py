@@ -240,3 +240,27 @@ def test_df64_real_unsupported_shapes():
             lengths=[64], number_of_transforms=1, domain=Domain.REAL,
             forward_offset=8, precision="float64",
         ).commit(emulate_fp64=True)
+
+
+def test_df64_split_out_tuple():
+    """out=(re, im) on the df64 SPLIT path unpacks like _compute_split
+    (previously the tuple was flattened into one double-length buffer)."""
+    from portfft_tpu import ComplexStorage
+
+    n, b = 64, 2
+    desc = Descriptor(
+        lengths=[n], number_of_transforms=b, precision="float64",
+        complex_storage=ComplexStorage.SPLIT_COMPLEX,
+    )
+    plan = desc.commit(emulate_fp64=True)
+    rng = np.random.default_rng(5)
+    xr = rng.uniform(-1, 1, b * n)
+    xi = rng.uniform(-1, 1, b * n)
+    o_re = np.zeros(b * n)
+    o_im = np.zeros(b * n)
+    yr, yi = plan.compute_forward(xr, xi, out=(o_re, o_im))
+    ref = np.fft.fft(xr.reshape(b, n) + 1j * xi.reshape(b, n))
+    got = np.asarray(yr).reshape(b, n) + 1j * np.asarray(yi).reshape(b, n)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-13, rel
+    assert np.asarray(yr).shape == (b * n,)

@@ -61,7 +61,8 @@ def test_autotune_interpreter(tmp_cache):
     desc = Descriptor(lengths=[16], number_of_transforms=8192)
     plan = desc.commit(use_pallas=True)
     params = plan.autotune(iters=1)
-    assert params is not None and "rt" in params
+    # {} (the static-heuristic baseline) is a legitimate winner
+    assert params is not None and (params == {} or "rt" in params)
     assert tuning.lookup(plan.config.name, "direct", "n16") == params
     x = oracle.gen_input(desc, 1)
     ref = oracle.reference_output(desc, x, Direction.FORWARD)
@@ -176,3 +177,28 @@ def test_global2_stale_tile_override_falls_back(tmp_cache):
     flat = oracle.materialize(desc, x, Direction.FORWARD)
     out = np.asarray(plan.compute_forward(flat))
     oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
+
+
+def test_autotune_real_routes_to_sub_entry(tmp_cache):
+    """autotune() on a REAL plan measures the half-length sub-kernel's
+    variant space end-to-end through the wrapper and records the winner
+    under the SUB kind/key (where build_fn's lookup reads it)."""
+    from portfft_tpu import Domain
+
+    n, b = 2048, 16  # half-length 1024 -> fused2 sub
+    desc = Descriptor(
+        lengths=[n], number_of_transforms=b, domain=Domain.REAL
+    )
+    plan = desc.commit(use_pallas=True)
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    assert entry is not None and entry[0] == "realf"
+    variants = tuning._variants_for_entry(plan, entry)
+    assert len(variants) > 1 and variants[0] == {}
+    params = plan.autotune(iters=1)
+    assert params is not None
+    assert tuning.lookup(plan.config.name, "fused2", "n1024") == params
+    # and the tuned plan still computes correctly
+    x = np.random.default_rng(7).uniform(-1, 1, (b, n)).astype(np.float32)
+    y = np.asarray(plan.compute_forward(x.reshape(-1)))
+    ref = np.fft.rfft(x)
+    assert np.allclose(y.reshape(b, -1), ref, atol=1e-3)

@@ -146,11 +146,32 @@ def ifftn(x, *, ndim: int | None = None, norm=None):
     return _c2c(x, ndim or jnp.asarray(x).ndim, False, norm)
 
 
+def _herm_full(x, lengths):
+    """Rebuild the full complex spectrum from a half spectrum over the
+    last ``len(lengths)`` transform axes (Hermitian symmetry:
+    full[k] = conj(x[-k mod N]) elementwise over the transform axes)."""
+    k = len(lengths)
+    n = lengths[-1]
+    h1 = n // 2 + 1
+    # tail bins j = h1..n-1 read x[..., n-j] = flip of bins 1..n-h1
+    t = jnp.flip(x[..., 1:n - h1 + 1], axis=-1)
+    for a in range(x.ndim - k, x.ndim - 1):
+        t = jnp.roll(jnp.flip(t, axis=a), 1, axis=a)
+    return jnp.concatenate([x, jnp.conj(t)], axis=-1)
+
+
 def rfft(x, n=None, axis=-1, *, norm=None):
     """1D real-to-complex DFT -> (..., n//2+1) along ``axis``."""
     x, moved = _to_last(jnp.asarray(x), axis)
     x = _sized(x, n)
     n = int(x.shape[-1])
+    if n % 2:
+        # the committed REAL path requires an even length; odd sizes run
+        # the C2C plan and keep the non-redundant half (numpy semantics)
+        y = _c2c(x.astype(jnp.complex64 if _precision_of(x.dtype)
+                          == "float32" else jnp.complex128), 1, True,
+                 norm)[..., :n // 2 + 1]
+        return jnp.moveaxis(y, -1, axis) if moved else y
     lead = x.shape[:-1]
     batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
     plan = _plan((n,), batch, _precision_of(x.dtype), Domain.REAL,
@@ -178,6 +199,11 @@ def rfftn(x, *, ndim: int | None = None, norm=None):
     x = jnp.asarray(x)
     k = ndim or x.ndim
     lengths = tuple(int(s) for s in x.shape[-k:])
+    if lengths[-1] % 2:
+        cdt = (jnp.complex128 if _precision_of(x.dtype) == "float64"
+               else jnp.complex64)
+        return _c2c(x.astype(cdt), k, True, norm)[
+            ..., :lengths[-1] // 2 + 1]
     lead = x.shape[:-k]
     batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
     plan = _plan(lengths, batch, _precision_of(x.dtype), Domain.REAL,
@@ -191,10 +217,12 @@ def rfft2(x, *, norm=None):
     return rfftn(x, ndim=2, norm=norm)
 
 
-def irfftn(x, s, *, norm=None):
-    """N-D inverse of :func:`rfftn`; ``s`` is the full output lengths (the
-    half spectrum does not determine the last axis's parity)."""
+def irfftn(x, s=None, *, norm=None):
+    """N-D inverse of :func:`rfftn`; ``s`` is the full output lengths.
+    Like numpy, ``s=None`` assumes an even last axis = 2*(bins-1)."""
     x = jnp.asarray(x)
+    if s is None:
+        s = (*x.shape[:-1], 2 * (int(x.shape[-1]) - 1))
     lengths = tuple(int(v) for v in s)
     k = len(lengths)
     h1 = lengths[-1] // 2 + 1
@@ -203,6 +231,8 @@ def irfftn(x, s, *, norm=None):
             f"half spectrum shape {x.shape[-k:]} does not match s={s} "
             f"(expected {(*lengths[:-1], h1)})"
         )
+    if lengths[-1] % 2:
+        return jnp.real(_c2c(_herm_full(x, lengths), k, False, norm))
     lead = x.shape[:-k]
     batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
     plan = _plan(lengths, batch, _precision_of(x.dtype), Domain.REAL,
@@ -211,19 +241,24 @@ def irfftn(x, s, *, norm=None):
     return y.reshape(*lead, *lengths)
 
 
-def irfft2(x, s, *, norm=None):
+def irfft2(x, s=None, *, norm=None):
     return irfftn(x, s, norm=norm)
 
 
-def irfft(x, n: int, axis=-1, *, norm=None):
+def irfft(x, n: int | None = None, axis=-1, *, norm=None):
     """1D complex-to-real inverse of :func:`rfft`; ``n`` is the output
-    length (the half spectrum does not determine parity)."""
+    length.  Like numpy, ``n=None`` assumes even output = 2*(bins-1)."""
     x, moved = _to_last(jnp.asarray(x), axis)
     h1 = int(x.shape[-1])
+    if n is None:
+        n = 2 * (h1 - 1)
     if h1 != n // 2 + 1:
         raise InvalidConfiguration(
             f"half spectrum has {h1} bins; expected {n // 2 + 1} for n={n}"
         )
+    if n % 2:
+        y = jnp.real(_c2c(_herm_full(x, (n,)), 1, False, norm))
+        return jnp.moveaxis(y, -1, axis) if moved else y
     lead = x.shape[:-1]
     batch = int(np.prod(lead, dtype=np.int64)) if lead else 1
     plan = _plan((n,), batch, _precision_of(x.dtype), Domain.REAL,
@@ -231,3 +266,76 @@ def irfft(x, n: int, axis=-1, *, norm=None):
     y = plan.compute_backward(x.reshape(-1))
     y = y.reshape(*lead, n)
     return jnp.moveaxis(y, -1, axis) if moved else y
+
+
+def hfft(x, n: int | None = None, axis=-1, *, norm=None):
+    """DFT of a signal with Hermitian symmetry (real spectrum), numpy
+    semantics: ``hfft(a, n) == irfft(conj(a), n) * n`` modulo norm.
+    Implemented through the C2R path (the committed plans never see a
+    redundant full spectrum)."""
+    x, moved = _to_last(jnp.asarray(x), axis)
+    h1 = int(x.shape[-1])
+    if n is None:
+        n = 2 * (h1 - 1)
+    # hfft's norm conventions mirror the *forward* family: backward =
+    # unscaled, ortho = 1/sqrt(n), forward = 1/n.  irfft applies the
+    # inverse-family scale, so run it un-normalized and scale explicitly.
+    y = irfft(jnp.conj(x), n, norm=None) * n
+    canon = _canon_norm(norm)
+    if canon == "ortho":
+        y = y / math.sqrt(n)
+    elif canon == "forward":
+        y = y / n
+    return jnp.moveaxis(y, -1, axis) if moved else y
+
+
+def ihfft(x, n: int | None = None, axis=-1, *, norm=None):
+    """Inverse of :func:`hfft` (real input -> half spectrum), numpy
+    semantics: ``ihfft(a, n) == conj(rfft(a, n)) / n`` modulo norm."""
+    x, moved = _to_last(jnp.asarray(x), axis)
+    x = _sized(x, n)
+    n = int(x.shape[-1])
+    y = jnp.conj(rfft(x, norm=None)) / n
+    canon = _canon_norm(norm)
+    if canon == "ortho":
+        y = y * math.sqrt(n)
+    elif canon == "forward":
+        y = y * n
+    return jnp.moveaxis(y, -1, axis) if moved else y
+
+
+def fftfreq(n: int, d: float = 1.0, *, dtype=None):
+    """Sample frequencies for :func:`fft` output (numpy layout:
+    [0, 1, ..., n//2-1, -n//2, ..., -1] / (d*n))."""
+    dtype = dtype or jnp.float32
+    k = jnp.arange(n, dtype=dtype)
+    k = jnp.where(k >= (n + 1) // 2, k - n, k)
+    return k / (n * d)
+
+
+def rfftfreq(n: int, d: float = 1.0, *, dtype=None):
+    """Sample frequencies for :func:`rfft` output ([0..n//2] / (d*n))."""
+    dtype = dtype or jnp.float32
+    return jnp.arange(n // 2 + 1, dtype=dtype) / (n * d)
+
+
+def _shift_axes(x, axes):
+    if axes is None:
+        return tuple(range(x.ndim))
+    if isinstance(axes, int):
+        return (axes,)
+    return tuple(axes)
+
+
+def fftshift(x, axes=None):
+    """Move the zero-frequency bin to the center (numpy fftshift)."""
+    x = jnp.asarray(x)
+    ax = _shift_axes(x, axes)
+    return jnp.roll(x, [x.shape[a] // 2 for a in ax], ax)
+
+
+def ifftshift(x, axes=None):
+    """Inverse of :func:`fftshift` (exact for odd lengths too)."""
+    x = jnp.asarray(x)
+    ax = _shift_axes(x, axes)
+    return jnp.roll(x, [-(x.shape[a] // 2) for a in ax], ax)

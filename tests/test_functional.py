@@ -184,3 +184,81 @@ def test_apply_rejects_real_domain():
     ).commit()
     with pytest.raises(pfft.UnsupportedConfiguration, match="REAL"):
         plan.apply(jnp.zeros((1, 64), jnp.float32))
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_hfft_ihfft_match_numpy(norm):
+    rng = _rng(11)
+    half = (rng.uniform(-1, 1, (3, 65)) + 1j * rng.uniform(-1, 1, (3, 65))
+            ).astype(np.complex64)
+    got = np.asarray(F.hfft(half, norm=norm))
+    ref = np.fft.hfft(half, norm=norm)
+    assert got.shape == ref.shape == (3, 128)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+
+    sig = rng.uniform(-1, 1, (3, 128)).astype(np.float32)
+    got = np.asarray(F.ihfft(sig, norm=norm))
+    ref = np.fft.ihfft(sig, norm=norm)
+    assert got.shape == ref.shape == (3, 65)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_hfft_odd_output_and_axis():
+    rng = _rng(12)
+    half = (rng.uniform(-1, 1, (4, 33)) + 1j * rng.uniform(-1, 1, (4, 33))
+            ).astype(np.complex64)
+    # explicit odd n exercises the non-default parity
+    got = np.asarray(F.hfft(half, n=65))
+    ref = np.fft.hfft(half, n=65)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+    # axis= path
+    got = np.asarray(F.ihfft(ref.T.copy(), axis=0))
+    want = np.fft.ihfft(ref, axis=-1).T
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+
+def test_irfft_default_n():
+    rng = _rng(13)
+    x = rng.uniform(-1, 1, (2, 256)).astype(np.float32)
+    half = np.fft.rfft(x).astype(np.complex64)
+    got = np.asarray(F.irfft(half))
+    assert got.shape == (2, 256)
+    assert np.allclose(got, x, atol=1e-4)
+    got = np.asarray(F.irfftn(np.fft.rfftn(x).astype(np.complex64)))
+    assert got.shape == (2, 256)
+    assert np.allclose(got, x, atol=1e-4)
+
+
+def test_fftfreq_and_shift_match_numpy():
+    for n in (8, 9, 128):
+        assert np.allclose(np.asarray(F.fftfreq(n, d=0.25)),
+                           np.fft.fftfreq(n, d=0.25), atol=1e-6)
+        assert np.allclose(np.asarray(F.rfftfreq(n, d=2.0)),
+                           np.fft.rfftfreq(n, d=2.0), atol=1e-7)
+    x = _rng(14).uniform(-1, 1, (5, 6, 7)).astype(np.float32)
+    assert np.array_equal(np.asarray(F.fftshift(x)), np.fft.fftshift(x))
+    assert np.array_equal(np.asarray(F.ifftshift(x)), np.fft.ifftshift(x))
+    assert np.array_equal(np.asarray(F.fftshift(x, axes=(1, 2))),
+                          np.fft.fftshift(x, axes=(1, 2)))
+    assert np.array_equal(
+        np.asarray(F.ifftshift(F.fftshift(x, axes=1), axes=1)), x)
+
+
+def test_odd_length_real_fallbacks():
+    """Odd last-axis real transforms route through the C2C plan (the
+    committed REAL path requires even lengths) with numpy semantics."""
+    rng = _rng(15)
+    x = rng.uniform(-1, 1, (4, 125)).astype(np.float32)
+    got = np.asarray(F.rfft(x))
+    ref = np.fft.rfft(x)
+    assert got.shape == ref.shape == (4, 63)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+    back = np.asarray(F.irfft(ref.astype(np.complex64), n=125))
+    assert np.allclose(back, x, atol=1e-4)
+    # N-D odd last axis
+    x2 = rng.uniform(-1, 1, (2, 8, 27)).astype(np.float32)
+    got = np.asarray(F.rfftn(x2, ndim=2))
+    ref = np.fft.rfftn(x2, axes=(-2, -1))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-5
+    back = np.asarray(F.irfftn(ref.astype(np.complex64), s=(8, 27)))
+    assert np.allclose(back, x2, atol=1e-4)

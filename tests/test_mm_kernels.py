@@ -278,3 +278,33 @@ def test_global_sq_fused_sub_parity():
     ref = np.fft.fft(raw.view(np.complex64).reshape(batch, n))
     rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
     assert rel < 1e-4, rel
+
+
+def test_global_sq_bt2_parity():
+    """The {"eng": 5, "bt": 2} variant (two batch rows per block — the
+    autotuner enumerates it) stays correct: a fast-but-wrong variant
+    would be persisted untested, the tuner never checks outputs."""
+    from portfft_tpu import fastpath
+    from portfft_tpu.ops import pallas_global
+
+    n, batch = 65536, 4
+    plan = pfft.Descriptor(
+        lengths=[n], number_of_transforms=batch
+    ).commit(use_pallas=True)
+    assert pallas_global.global_sq_supported(plan.plans[n], plan.config)
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    rng = np.random.default_rng(17)
+    x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    fn = fastpath.build_fn(
+        plan, Direction.FORWARD, entry, 2 * batch * n,
+        overrides={"eng": 5, "bt": 2},
+    )
+    if fn is None:
+        import pytest
+
+        pytest.skip("bt=2 block does not fit this config's VMEM estimate")
+    got = np.asarray(fn(jnp.asarray(x), plan._bank_arrays))
+    ref = np.fft.fft(x.view(np.complex64).reshape(batch, n))
+    gc = got.view(np.complex64).reshape(batch, n)
+    rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel

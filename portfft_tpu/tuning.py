@@ -339,6 +339,8 @@ def autotune(committed, direction=None, iters: int = 5) -> Optional[dict]:
     # compile + warm every viable variant first, then time them in
     # interleaved bursts (see _measure_round_robin: the chip rate drifts)
     fns: dict = {}
+    ref_y = None
+    ref_norm = 0.0
     for i, params in enumerate(variants):
         try:
             traced = fastpath.build_fn(
@@ -349,6 +351,28 @@ def autotune(committed, direction=None, iters: int = 5) -> Optional[dict]:
             fn = jax.jit(traced)
             r = fn(x, committed._bank_arrays)
             jax.device_get(r.ravel()[0:1])
+            if ref_y is None:
+                # first viable variant = the {} static baseline (variant
+                # lists lead with it), whose path the test suite verifies
+                ref_y = r
+            else:
+                # parity gate: a variant must reproduce the baseline's
+                # output before it may win on time — device-specific
+                # miscompiles are invisible to the CPU test suite, and
+                # the tuner would otherwise persist a fast-but-wrong
+                # winner.  Engines differ only at the x3 rounding floor
+                # (~1e-5 rel), so 1e-3 is pure-corruption territory.
+                if not ref_norm:
+                    ref_norm = float(
+                        jnp.linalg.norm(ref_y.astype(jnp.float32))
+                    ) or 1.0
+                diff = float(
+                    jnp.linalg.norm((r - ref_y).astype(jnp.float32))
+                )
+                if diff / ref_norm > 1e-3:
+                    trace(f"autotune {kind}/{key} {params}: output "
+                          f"mismatch (rel {diff/ref_norm:.1e}) — dropped")
+                    continue
             fns[i] = fn
         except Exception as exc:  # compile rejection: skip the variant
             trace(f"autotune {kind}/{key} {params}: rejected "

@@ -202,3 +202,42 @@ def test_autotune_real_routes_to_sub_entry(tmp_cache):
     y = np.asarray(plan.compute_forward(x.reshape(-1)))
     ref = np.fft.rfft(x)
     assert np.allclose(y.reshape(b, -1), ref, atol=1e-3)
+
+def test_autotune_drops_mismatching_variant(tmp_cache, monkeypatch):
+    """A variant whose output diverges from the static baseline is dropped
+    before timing (the tuner otherwise persists fast-but-wrong winners —
+    device miscompiles are invisible to the CPU suite)."""
+    import jax.numpy as jnp
+
+    from portfft_tpu import fastpath
+    from portfft_tpu.utils import logging as plog
+
+    desc = Descriptor(lengths=[16], number_of_transforms=8192)
+    plan = desc.commit(use_pallas=True)
+    entry = plan._raw_fast[Direction.FORWARD]
+    variants = tuning._variants_for_entry(plan, entry)
+    assert len(variants) >= 2
+    bad = variants[-1]
+
+    real_build = fastpath.build_fn
+
+    def corrupting_build(committed, direction, ent, flat_len,
+                         overrides=None):
+        fn = real_build(committed, direction, ent, flat_len,
+                        overrides=overrides)
+        if overrides == bad and fn is not None:
+            return lambda x, bank, _f=fn: _f(x, bank) * 0.0
+        return fn
+
+    msgs = []
+    monkeypatch.setattr(fastpath, "build_fn", corrupting_build)
+    monkeypatch.setattr(plog, "trace", lambda m: msgs.append(str(m)))
+    params = plan.autotune(iters=1)
+    assert params is not None and params != bad
+    assert any("output mismatch" in m for m in msgs), msgs
+    # and the winner still computes correctly
+    x = oracle.gen_input(desc, 4)
+    ref = oracle.reference_output(desc, x, Direction.FORWARD)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)

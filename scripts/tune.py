@@ -53,9 +53,27 @@ def _sync(a):
     jax.device_get(a.ravel()[0:1])
 
 
-def measure_plan(plan, x, iters=8) -> float:
+def measure_plan(plan, x, iters=8, verify_n: int = 0) -> float:
     y = plan.compute_forward(x)
     _sync(y)
+    if verify_n:
+        # unattended-agenda safety: a tuned plan must match np.fft before
+        # its time can crown a split/variant winner
+        b = min(2, x.size // (2 * verify_n))
+        got = (
+            np.asarray(y[: 2 * b * verify_n])
+            .view(np.complex64)
+            .reshape(b, verify_n)
+        )
+        ref = np.fft.fft(
+            np.asarray(x[: 2 * b * verify_n])
+            .view(np.complex64)
+            .reshape(b, verify_n),
+            axis=1,
+        )
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        if not rel < 1e-3:
+            raise AssertionError(f"verification failed: rel={rel:.2e}")
     ts = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -78,7 +96,7 @@ def tune_shape(n: int, batch: int, device: str) -> None:
 
     if level != Level.GLOBAL:
         params = base_plan.autotune()
-        t = measure_plan(base_plan, x)
+        t = measure_plan(base_plan, x, verify_n=n)
         print(f"n={n:8d} {base_plan.plans[n].describe():50s} "
               f"tuned={params} {t*1e3:8.3f} ms {gb/t:6.1f} GB/s", flush=True)
         return
@@ -114,7 +132,7 @@ def tune_shape(n: int, batch: int, device: str) -> None:
                 continue
             try:
                 plan.autotune()  # records t1/t2 under the split key
-                t = measure_plan(plan, x)
+                t = measure_plan(plan, x, verify_n=n)
             except Exception as exc:
                 print(f"  n={n} split {g1}x{g2}: FAIL {str(exc)[:90]}",
                       flush=True)

@@ -207,7 +207,6 @@ def test_autotune_drops_mismatching_variant(tmp_cache, monkeypatch):
     """A variant whose output diverges from the static baseline is dropped
     before timing (the tuner otherwise persists fast-but-wrong winners —
     device miscompiles are invisible to the CPU suite)."""
-    import jax.numpy as jnp
 
     from portfft_tpu import fastpath
     from portfft_tpu.utils import logging as plog

@@ -397,11 +397,13 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         sign = _SIGNS[direction]
         rest2 = 2 * d.number_of_transforms
         ct_bi = overrides.get("ct", 0)
+        ds_bi = bool(overrides.get("ds"))
 
         def fn(raw, bank):
             res = pallas_multidim.col_raw_call(
                 raw, 1, plan0, rest2, sign, names, bank, committed.config,
                 committed.matmul_precision, scale, ct_override=ct_bi,
+                ds=ds_bi,
             )
             if res is None:
                 raise RawFastUnavailable()
@@ -431,6 +433,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         ):
             bt_row = None  # stale/invalid tuning: let the kernel pick
         ct_col = overrides.get("ct", 0)  # column-pass lane tile
+        ds_col = bool(overrides.get("ds"))
 
         def fn(raw, bank):
             if last[0] == "direct":
@@ -465,7 +468,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
                 x = pallas_multidim.col_raw_call(
                     x, bpre, committed.plans[ln], rest2, sign, cols[axis],
                     bank, committed.config, committed.matmul_precision, sc,
-                    ct_override=ct_col,
+                    ct_override=ct_col, ds=ds_col,
                 )
                 if x is None:
                     raise RawFastUnavailable()

@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..enums import Level
 from ..planner import Plan1D
-from .pallas_fft import _const_spec, _interpret_mode, _kernel_precision, _mm
+from .pallas_fft import (
+    _const_spec, _interpret_mode, _kernel_precision, _mm, ds_params,
+)
 
 
 def _pairswap_last(u):
@@ -145,13 +147,15 @@ def _pick_ct(rest2: int, L: int, fused: bool, vmem: int) -> int:
 def col_raw_call(
     raw, bpre: int, plan: Plan1D, rest2: int, sign: int, names: list[str],
     bank, config, precision=None, scale: float = 1.0,
-    ct_override: int = 0,
+    ct_override: int = 0, ds: bool = False,
 ):
     """Transform axis of length ``plan.n`` over the sublane dimension of the
     PACKED interleaved buffer viewed (bpre, L, rest2).  Returns the
     transformed buffer in the same raw layout, or None when no legal tiling
     exists.  ``ct_override`` (autotuner {"ct": …}) replaces the static lane
-    tile when it legally divides the trailing extent."""
+    tile when it legally divides the trailing extent; ``ds`` ({"ds": 1})
+    declares both grid dimensions parallel (the output blocks are disjoint)
+    so Mosaic may reorder/overlap iterations."""
     L = plan.n
     fused = plan.level != Level.DIRECT
     prec = _kernel_precision(precision, L)
@@ -190,5 +194,6 @@ def col_raw_call(
             transcendentals=0,
         ),
         interpret=_interpret_mode(),
+        **(ds_params("parallel", "parallel") if ds else {}),
     )(x3, *tables)
     return out.reshape(raw.shape)

@@ -134,6 +134,9 @@ def _variants_for_entry(committed, entry) -> list[dict]:
         for ct in (2048, 1024, 512, 384, 256, 128):
             if rests and all(r % ct == 0 for r in rests):
                 out.append({"ct": ct})
+        # parallel grid semantics on the column passes (output blocks are
+        # disjoint); enumerated per lane tile — the two knobs interact
+        out += [{**v, "ds": 1} for v in list(out)]
         return out
     if kind in ("realf", "realb"):
         # the REAL wrapper's cost is dominated by its half-length complex

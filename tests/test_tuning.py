@@ -240,3 +240,20 @@ def test_autotune_drops_mismatching_variant(tmp_cache, monkeypatch):
     flat = oracle.materialize(desc, x, Direction.FORWARD)
     out = np.asarray(plan.compute_forward(flat))
     oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
+
+def test_multidim_ds_variant_computes(tmp_cache):
+    """{"ds": 1} (parallel column grid) variants are enumerated for
+    multidim/bi_col entries and a tuned one computes identically."""
+    desc = Descriptor(lengths=[8, 128], number_of_transforms=16)
+    plan = desc.commit(use_pallas=True)
+    entry = plan._raw_fast[Direction.FORWARD]
+    variants = tuning._variants_for_entry(plan, entry)
+    assert {"ds": 1} in variants and {"ct": 256, "ds": 1} in variants
+    tuning.record(plan.config.name, "multidim", "n8x128",
+                  {"ct": 128, "ds": 1})
+    plan2 = desc.commit(use_pallas=True)
+    x = oracle.gen_input(desc, 6)
+    ref = oracle.reference_output(desc, x, Direction.FORWARD)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    out = np.asarray(plan2.compute_forward(flat))
+    oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)

@@ -188,6 +188,23 @@ def prepare_config(name, n, batch, rotate=0):
 
     desc = pfft.Descriptor(lengths=[n], number_of_transforms=batch)
     plan = desc.commit()
+    # document what runs: plan shape + any tuned override in effect
+    try:
+        from portfft_tpu import tuning
+
+        entry = plan._raw_fast.get(pfft.Direction.FORWARD)
+        tuned = (
+            tuning.lookup(plan.config.name, entry[0],
+                          tuning._entry_key(plan, entry[0]))
+            if entry else None
+        )
+        print(
+            f"  {name}: {plan.plans[n].describe()}"
+            + (f" tuned={tuned}" if tuned else ""),
+            file=sys.stderr,
+        )
+    except Exception:
+        pass
 
     rng = np.random.default_rng(0)
     # Raw interleaved float buffer — the zero-conversion device path.

@@ -157,8 +157,47 @@ def tune_shape(n: int, batch: int, device: str) -> None:
 
 MD_SHAPES = [
     ([512, 512], 256),
+    ([1024, 1024], 64),
     ([128, 128, 128], 32),
 ]
+
+REAL_SHAPES = [  # bench real set (half-length raw path from n >= 1024)
+    (2048, 64 * 1024),
+    (8192, 16 * 1024),
+]
+
+
+def tune_real(n: int, batch: int) -> None:
+    """Autotune a REAL-domain bench shape: the realf entry enumerates (and
+    records under) its half-length sub-transform's variant space."""
+    rng = np.random.default_rng(0)
+    plan = pfft.Descriptor(
+        lengths=[n], number_of_transforms=batch, domain=pfft.Domain.REAL
+    ).commit()
+    params = plan.autotune()
+    x = jnp.asarray(rng.uniform(-1, 1, batch * n).astype(np.float32))
+    y = plan.compute_forward(x)
+    _sync(y)
+    yh = np.asarray(y).ravel()
+    got = (
+        yh[: n // 2 + 1]
+        if np.iscomplexobj(yh)
+        else yh[: 2 * (n // 2 + 1)].view(np.complex64)
+    )
+    ref = np.fft.rfft(np.asarray(x[:n]))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-3, f"real n={n}: verification failed rel={rel:.2e}"
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            y = plan.compute_forward(x)
+        _sync(y)
+        ts.append((time.perf_counter() - t0) / 8)
+    t = min(ts)
+    gb = batch * n * 12 / 1e9  # real in + half-spectrum out + once more
+    print(f"real n={n:6d} b={batch:6d} tuned={params} "
+          f"{t*1e3:8.3f} ms {gb/t:6.1f} GB/s", flush=True)
 
 
 def tune_multidim(lengths, batch) -> None:
@@ -186,15 +225,19 @@ def main() -> None:
     print(f"tuning on {dev.device_kind} ({device})", flush=True)
     shapes = SHAPES
     md = MD_SHAPES
+    real = REAL_SHAPES
     if len(sys.argv) > 1:
         args = sys.argv[1:]
         md = MD_SHAPES if "md" in args else []
-        wanted = {int(a) for a in args if a != "md"}
+        real = REAL_SHAPES if "real" in args else []
+        wanted = {int(a) for a in args if a not in ("md", "real")}
         shapes = [(nn, bb) for nn, bb in SHAPES if nn in wanted]
     for n, batch in shapes:
         tune_shape(n, batch, device)
     for lengths, batch in md:
         tune_multidim(lengths, batch)
+    for n, batch in real:
+        tune_real(n, batch)
     print("tuning cache:", tuning._USER_PATH, flush=True)
 
 

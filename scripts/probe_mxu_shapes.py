@@ -138,13 +138,17 @@ def main():
     warm = []
     for name, fn, fl in cases:
         try:
+            t0 = time.perf_counter()
             y = fn()
             jax.device_get(y)
             warm.append((name, fn, fl))
+            # incremental: a slow-window timeout keeps the partial record
+            print(f"warm {name:12s} {time.perf_counter() - t0:7.1f} s",
+                  flush=True)
         except Exception as e:
             print(f"{name}: FAILED {str(e)[:200]}", flush=True)
     best = {}
-    for _ in range(3):
+    for rnd in range(3):
         for name, fn, fl in warm:
             t0 = time.perf_counter()
             for _ in range(4):
@@ -154,9 +158,12 @@ def main():
             r = best.get(name)
             if r is None or t < r[0]:
                 best[name] = (t, fl)
-    for name, (t, fl) in best.items():
-        print(f"{name:12s} {t*1e3:8.3f} ms  {fl/t/1e12:7.2f} TFLOP/s",
-              flush=True)
+        for name, (t, fl) in best.items():
+            print(
+                f"r{rnd} {name:12s} {t*1e3:8.3f} ms  "
+                f"{fl/t/1e12:7.2f} TFLOP/s",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -160,8 +160,12 @@ def register(committed) -> dict:
                 plan0, committed.config.direct_threshold
             ):
                 names = pallas_multidim.col_table_names(plan0, sign, bank)
+                names_mm = pallas_multidim.col_mm_table_names(
+                    plan0, sign, bank
+                )
                 out[direction] = (
-                    "bi_col", names, scale, d.number_of_transforms * n0
+                    "bi_col", names, scale, d.number_of_transforms * n0,
+                    names_mm,
                 )
             continue
         packed = lin == Layout.PACKED and lout == Layout.PACKED
@@ -307,7 +311,17 @@ def _register_multidim(committed) -> dict:
             else None
             for ln in d.lengths[:-1]
         ]
-        out[direction] = ("multidim", sign, scale, total, last, cols)
+        cols_mm = [
+            pallas_multidim.col_mm_table_names(
+                committed.plans[ln], sign, bank
+            )
+            if ln > 1
+            else None
+            for ln in d.lengths[:-1]
+        ]
+        out[direction] = (
+            "multidim", sign, scale, total, last, cols, cols_mm
+        )
     return out
 
 
@@ -387,7 +401,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
 
         return fn
     if kind == "bi_col":
-        _, names, scale, total = entry
+        _, names, scale, total, names_mm = entry
         if flat_len != 2 * total:
             return None
         from .ops import pallas_multidim
@@ -398,13 +412,22 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         rest2 = 2 * d.number_of_transforms
         ct_bi = overrides.get("ct", 0)
         ds_bi = bool(overrides.get("ds"))
+        cm_bi = bool(overrides.get("cm")) and names_mm is not None
 
         def fn(raw, bank):
-            res = pallas_multidim.col_raw_call(
-                raw, 1, plan0, rest2, sign, names, bank, committed.config,
-                committed.matmul_precision, scale, ct_override=ct_bi,
-                ds=ds_bi,
-            )
+            res = None
+            if cm_bi:
+                res = pallas_multidim.col_raw_mm_call(
+                    raw, 1, plan0, rest2, sign, names_mm, bank,
+                    committed.config, committed.matmul_precision, scale,
+                    ct_override=ct_bi, ds=ds_bi,
+                )
+            if res is None:
+                res = pallas_multidim.col_raw_call(
+                    raw, 1, plan0, rest2, sign, names, bank,
+                    committed.config, committed.matmul_precision, scale,
+                    ct_override=ct_bi, ds=ds_bi,
+                )
             if res is None:
                 raise RawFastUnavailable()
             return res
@@ -413,7 +436,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
     if kind == "multidim":
         import math
 
-        _, sign, scale, total, last, cols = entry
+        _, sign, scale, total, last, cols, cols_mm = entry
         if flat_len != 2 * total:
             return None
         from .ops import pallas_multidim
@@ -434,6 +457,7 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
             bt_row = None  # stale/invalid tuning: let the kernel pick
         ct_col = overrides.get("ct", 0)  # column-pass lane tile
         ds_col = bool(overrides.get("ds"))
+        cm_col = bool(overrides.get("cm"))
 
         def fn(raw, bank):
             if last[0] == "direct":
@@ -465,13 +489,24 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
                     d.number_of_transforms * math.prod(lengths[:axis])
                 )
                 sc = scale if axis == 0 else 1.0
-                x = pallas_multidim.col_raw_call(
-                    x, bpre, committed.plans[ln], rest2, sign, cols[axis],
-                    bank, committed.config, committed.matmul_precision, sc,
-                    ct_override=ct_col, ds=ds_col,
-                )
-                if x is None:
+                xc = None
+                if cm_col and cols_mm[axis] is not None:
+                    xc = pallas_multidim.col_raw_mm_call(
+                        x, bpre, committed.plans[ln], rest2, sign,
+                        cols_mm[axis], bank, committed.config,
+                        committed.matmul_precision, sc,
+                        ct_override=ct_col, ds=ds_col,
+                    )
+                if xc is None:
+                    xc = pallas_multidim.col_raw_call(
+                        x, bpre, committed.plans[ln], rest2, sign,
+                        cols[axis], bank, committed.config,
+                        committed.matmul_precision, sc,
+                        ct_override=ct_col, ds=ds_col,
+                    )
+                if xc is None:
                     raise RawFastUnavailable()
+                x = xc
             if scale != 1.0 and lengths[0] == 1:
                 x = x * scale  # every column pass was a length-1 skip
             return x
@@ -542,6 +577,9 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         sq_ok = eng == 5 and pallas_global.global_sq_supported(
             plan0, committed.config
         )
+        f6_ok = eng == 6 and pallas_global.global_fused_supported(
+            plan0, committed.config
+        )
         bt5 = overrides.get("bt", 0)
 
         def fn(raw, bank):
@@ -550,6 +588,11 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
                 res = pallas_global.global_sq_raw_call(
                     raw, batch, plan0, sign, keys, bank, committed.config,
                     committed.matmul_precision, scale, bt_override=bt5,
+                )
+            if f6_ok:
+                res = pallas_global.global_fused_raw_call(
+                    raw, batch, plan0, sign, keys, bank, committed.config,
+                    committed.matmul_precision, scale, t1, t2, use_ftw=ftw,
                 )
             if res is None:
                 # eng 5 declined (non-x3 precision / missing bf16 tables /

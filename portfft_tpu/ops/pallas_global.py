@@ -801,6 +801,233 @@ def global2_raw_supported(plan: Plan1D, max_direct: int = 256) -> bool:
     return g1.n % 128 == 0 and g2.n % 128 == 0
 
 
+def fused_eng_est_bytes(plan: Plan1D, t1: int, t2: int) -> int:
+    """VMEM working-set estimate of the fused (persistent-scratch) engine:
+    the per-transform intermediate planes live in VMEM for the whole batch
+    row, plus the larger of the two phases' per-step working sets."""
+    g1p, g2p = plan.sub
+    planes = 2 * plan.n * 4
+    return planes + max(
+        pass_est_bytes(g1p, g1p.n, t1), pass_est_bytes(g2p, g2p.n, t2)
+    )
+
+
+def global_fused_supported(plan: Plan1D, config) -> bool:
+    """Fused single-sweep engine (autotuner ``{"eng": 6}``): both engine
+    passes in ONE Pallas kernel, the (g2, g1) intermediate planes held in
+    persistent VMEM scratch across grid steps — per batch row the grid
+    walks phase-A tiles (HBM input -> scratch) then phase-B tiles
+    (scratch -> HBM output).  HBM traffic drops from the two-pass engine's
+    4 sweeps (+ twiddle stream) to 2 sweeps (+ twiddle stream): the
+    intermediate never touches HBM.  The per-transform planes are only
+    8·n bytes (8 MB at n=2^20), so unlike the whole-transform single-pass
+    square kernel (eng 5, working set ~22·n·4) this covers the full
+    GLOBAL ladder on a 16 MiB-VMEM part."""
+    if not global2_raw_supported(
+        plan, getattr(config, "direct_threshold", 256)
+    ):
+        return False
+    g1p, g2p = plan.sub
+    t1 = _pick_tile(g2p.n, g1p, g1p.n, config.vmem_bytes * 3 // 4, 256, 64)
+    t2 = _pick_tile(g1p.n, g2p, g2p.n, config.vmem_bytes * 3 // 4, 256, 128)
+    if not t1 or not t2:
+        return False
+    # conservative estimate, 2x slack: Mosaic enforces the true VMEM bound
+    # at compile time; rejections are caught (autotune skips the variant,
+    # committed._run falls back to the two-pass engine)
+    return fused_eng_est_bytes(plan, t1, t2) <= 2 * config.vmem_bytes
+
+
+def global_fused_raw_call(
+    raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
+    precision=None, scale: float = 1.0, t1_override: int = 0,
+    t2_override: int = 0, use_ftw: bool = False,
+):
+    """PACKED interleaved raw (2·batch·n,) -> transformed raw, one fused
+    kernel (see ``global_fused_supported``).
+
+    Grid (batch, nA + nB), sequential: steps s < nA run phase A on input
+    tile s (deinterleave, lane-DFT over g1, inter-factor twiddle, store
+    (t1, g1) rows into the persistent scratch planes); steps s >= nA run
+    phase B on scratch column slice s - nA (lane-DFT over g2, scale,
+    reinterleave into the output block).  Block index maps clamp so phase-B
+    steps revisit the last phase-A input block (Pallas skips the re-fetch
+    when the block index is unchanged) and phase-A steps sit on the first
+    output block (it is only flushed after phase B writes it).
+    """
+    n = plan.n
+    g1p, g2p = plan.sub
+    g1, g2 = g1p.n, g2p.n
+    prec = _kernel_precision(precision)
+    if not global2_raw_supported(plan, config.direct_threshold):
+        return None
+    fused1 = g1p.level != Level.DIRECT
+    mm_ok = mm_enabled(prec)
+    names1, use_mm1 = sub_tables(g1p, sign, bank_keys, mm_ok)
+    names2, use_mm2 = sub_tables(g2p, sign, bank_keys, mm_ok)
+
+    if t1_override and (g2 % t1_override or t1_override % 64):
+        t1_override = 0
+    if t2_override and (g1 % t2_override or t2_override % 128):
+        t2_override = 0
+    t1 = t1_override or _pick_tile(
+        g2, g1p, g1, config.vmem_bytes * 3 // 4, 256, 64
+    )
+    t2 = t2_override or _pick_tile(
+        g1, g2p, g2, config.vmem_bytes * 3 // 4, 256, 128
+    )
+    if not t1 or not t2:
+        return None
+    if fused_eng_est_bytes(plan, t1, t2) > 2 * config.vmem_bytes:
+        return None
+    nA = g2 // t1
+    nB = g1 // t2
+
+    x3 = raw.reshape(batch, g1, 2 * g2)
+    in_spec = pl.BlockSpec(
+        (1, g1, 2 * t1),
+        lambda bi, s: (bi, 0, jnp.minimum(s, nA - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, g2, 2 * t2),
+        lambda bi, s: (bi, 0, jnp.maximum(s - nA, 0)),
+        memory_space=pltpu.VMEM,
+    )
+
+    qkey = zqkey = None
+    if use_ftw and not fused1:
+        qkey = bank_keys.get(("Q", g1, n, sign, t1))
+    elif use_ftw:
+        zqkey = bank_keys.get(("ZQ", g1, g2, sign, t1))
+    if fused1 and zqkey is not None:
+        tw_arrays = [
+            bank[zqkey + s]
+            for s in ("1r", "1i", "2r", "2i", "3r", "3i", "4r", "4i")
+        ]
+        tw_specs = [_const(t) for t in tw_arrays]
+    elif fused1:
+        zkey = bank_keys[("Z", g1, g2, sign)]
+        tw_arrays = [bank[zkey + s] for s in ("1r", "1i", "2r", "2i")]
+        zspec = pl.BlockSpec(
+            (t1, 128),
+            lambda bi, s: (jnp.minimum(s, nA - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+        tw_specs = [zspec] * 4
+    elif qkey is not None:
+        tw_arrays = [
+            bank[qkey + s]
+            for s in ("1r", "1i", "2r", "2i", "3r", "3i", "4r", "4i")
+        ]
+        tw_specs = [_const(t) for t in tw_arrays]
+    else:
+        tw = bank_keys[("T", g1, g2, sign)]
+        tw_arrays = [bank[tw + "r"], bank[tw + "i"]]
+        tw_spec = pl.BlockSpec(
+            (t1, g1),
+            lambda bi, s: (jnp.minimum(s, nA - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+        tw_specs = [tw_spec, tw_spec]
+
+    shared = names2 == names1
+    nt1 = len(names1)
+    nt2 = 0 if shared else len(names2)
+    ntw = len(tw_arrays)
+    nf1 = 0 if g1p.level == Level.DIRECT else 2
+    gb = g1 // 128
+
+    def kern(x_ref, *rest):
+        tabs1 = rest[:nt1]
+        tabs2 = tabs1 if shared else rest[nt1 : nt1 + nt2]
+        tws = rest[nt1 + nt2 : nt1 + nt2 + ntw]
+        o_ref = rest[nt1 + nt2 + ntw]
+        sc = rest[nt1 + nt2 + ntw + 1 :]
+        s3, pr, pi, s2, Sr, Si = sc[:6]
+        fold1 = sc[6 : 6 + nf1]
+        fold2 = sc[6 + nf1 :]
+        s = pl.program_id(1)
+        ti_ix = jnp.minimum(s, nA - 1)
+
+        @pl.when(s < nA)
+        def _phase_a():
+            for j in range(g1 // 128):
+                sl = slice(j * 128, (j + 1) * 128)
+                s3[...] = x_ref[0, sl, :].T  # (2t1, 128)
+                pr[:, sl] = s3[0::2, :]      # (t1, 128) = [n2, n1-slice]
+                pi[:, sl] = s3[1::2, :]
+            if fused1:
+                if zqkey is not None:
+                    gtw_vals = _factored_ztw(tws, ti_ix)
+                else:
+                    gtw_vals = tws
+                ar, ai = _lane_dft(
+                    pr[...], pi[...], g1p, tabs1, prec, fold1,
+                    gtw=gtw_vals, mm=use_mm1,
+                )
+            elif qkey is not None:
+                ar, ai = _lane_dft(
+                    pr[...], pi[...], g1p, tabs1, prec, fold1, mm=use_mm1
+                )
+                ar, ai = _apply_factored_q(ar, ai, tws, ti_ix, t1, gb)
+            else:
+                ar, ai = _lane_dft(
+                    pr[...], pi[...], g1p, tabs1, prec, fold1, mm=use_mm1
+                )
+                ar, ai = xla_fft.complex_mul(ar, ai, tws[0][...], tws[1][...])
+            _pf.dump("global_fused.p1", ar)
+            Sr[pl.ds(s * t1, t1), :] = ar
+            Si[pl.ds(s * t1, t1), :] = ai
+
+        @pl.when(s >= nA)
+        def _phase_b():
+            j = jnp.maximum(s - nA, 0)
+            col = pl.multiple_of(j * t2, t2)
+            br = Sr[:, pl.ds(col, t2)]  # (g2, t2) = [n2, k1-slice]
+            bi_ = Si[:, pl.ds(col, t2)]
+            cr, ci = _lane_dft(
+                br.T, bi_.T, g2p, tabs2, prec, fold2, mm=use_mm2
+            )  # (t2, g2) = [k1-slice, k2]
+            if scale != 1.0:
+                cr = cr * scale
+                ci = ci * scale
+            for jj in range(g2 // 128):
+                sl = slice(jj * 128, (jj + 1) * 128)
+                s2[0::2, :] = cr[:, sl]  # (2t2, 128)
+                s2[1::2, :] = ci[:, sl]
+                o_ref[0, sl, :] = s2[...].T  # (128, 2t2) = [k2-slice, 2k1+p]
+
+    tabs = [bank[nm] for nm in names1]
+    if not shared:
+        tabs += [bank[nm] for nm in names2]
+    out = pl.pallas_call(
+        kern,
+        grid=(batch, nA + nB),
+        in_specs=[in_spec] + [_const(t) for t in tabs] + tw_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, g2, 2 * g1), raw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * t1, 128), raw.dtype),
+            pltpu.VMEM((t1, g1), raw.dtype),
+            pltpu.VMEM((t1, g1), raw.dtype),
+            pltpu.VMEM((2 * t2, 128), raw.dtype),
+            pltpu.VMEM((g2, g1), raw.dtype),
+            pltpu.VMEM((g2, g1), raw.dtype),
+        ]
+        + _fold_scratches(g1p, t1, raw.dtype)
+        + _fold_scratches(g2p, t2, raw.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * batch * n
+            * ((sum(g1p.factors) or g1) + (sum(g2p.factors) or g2)),
+            bytes_accessed=2 * raw.shape[0] * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x3, *tabs, *tw_arrays)
+    return out.reshape(raw.shape[0])
+
+
 def global2_raw_call(
     raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
     precision=None, scale: float = 1.0, t1_override: int = 0,

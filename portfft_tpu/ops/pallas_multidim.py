@@ -144,6 +144,123 @@ def _pick_ct(rest2: int, L: int, fused: bool, vmem: int) -> int:
     return 0
 
 
+def col_mm_table_names(plan: Plan1D, sign: int, bank) -> list[str] | None:
+    """Register (idempotently) and return the widened-matmul table set for
+    the mm column kernel, or None when the plan has no mm shape (odd
+    DIRECT sizes, fp64 banks)."""
+    import numpy as np
+
+    if bank.dtype != np.float32:
+        return None
+    if plan.level == Level.DIRECT:
+        if plan.n % 128:
+            return None
+        wk = bank.mat_kara(bank.dft(plan.n, sign))
+        return [wk + str(j) for j in range(1, 7)]
+    a = plan.factors[0]
+    g = 128 // a
+    ks = bank.dft_kstack(a, sign)
+    u = bank.twiddle_fm(a, 128, sign)
+    pk = bank.mat_kara(bank.dft_permuted(128, sign, g))
+    return [ks + "k", u + "r", u + "i"] + [pk + str(j) for j in range(1, 7)]
+
+
+def _col_mm_est_bytes(plan: Plan1D, tc: int) -> int:
+    from .pallas_global import pass_est_bytes
+
+    return pass_est_bytes(plan, plan.n, tc)
+
+
+def col_raw_mm_call(
+    raw, bpre: int, plan: Plan1D, rest2: int, sign: int, names: list[str],
+    bank, config, precision=None, scale: float = 1.0,
+    ct_override: int = 0, ds: bool = False,
+):
+    """Widened-matmul column variant (autotuner ``{"cm": 1}``): instead of
+    the pairswap/roll interleaved matmuls, each (L, 2·tc) tile is
+    deinterleaved into planes through the scratch transposes proven by the
+    GLOBAL raw engine, transformed by the Karatsuba/kstack lane-DFT
+    (``pallas_global._lane_dft`` with bf16 presplit tables — the round-3
+    fused2 measurement: the family is MATMUL-bound and the mm stages gained
+    +20%), and reinterleaved on store.  Needs 128 | L and fp32/x3 grade."""
+    from .pallas_global import _fold_scratches, _lane_dft
+
+    L = plan.n
+    if L % 128:
+        return None
+    prec = _kernel_precision(precision)
+    if prec != "x3":
+        return None
+    fused = plan.level != Level.DIRECT
+    # lane tile in complex elements: the interleaved block is 2·tc wide
+    tc = 0
+    cap = config.vmem_bytes * 3 // 4
+    cands = [ct_override // 2] if ct_override else [512, 256, 128, 64]
+    for c in cands:
+        if (
+            c > 0
+            and c % 64 == 0
+            and rest2 % (2 * c) == 0
+            and _col_mm_est_bytes(plan, c) <= cap
+        ):
+            tc = c
+            break
+    if not tc:
+        return None
+    x3 = raw.reshape(bpre, L, rest2)
+    spec = pl.BlockSpec(
+        (1, L, 2 * tc), lambda bi, ci: (bi, 0, ci), memory_space=pltpu.VMEM
+    )
+    tables = [bank[nm] for nm in names]
+    nt = len(tables)
+    fl = sum(plan.factors) if fused else L
+
+    def kern(x_ref, *rest):
+        tabs = rest[:nt]
+        o_ref = rest[nt]
+        s3, pr, pi, s2 = rest[nt + 1 : nt + 5]
+        fold = rest[nt + 5 :]
+        for j in range(L // 128):
+            sl = slice(j * 128, (j + 1) * 128)
+            s3[...] = x_ref[0, sl, :].T  # (2tc, 128)
+            pr[:, sl] = s3[0::2, :]      # (tc, 128) = [trail, n-slice]
+            pi[:, sl] = s3[1::2, :]
+        ar, ai = _lane_dft(
+            pr[...], pi[...], plan, tabs, prec, fold, mm=True
+        )  # (tc, L) = [trail, k] natural
+        if scale != 1.0:
+            ar = ar * scale
+            ai = ai * scale
+        for j in range(L // 128):
+            sl = slice(j * 128, (j + 1) * 128)
+            s2[0::2, :] = ar[:, sl]  # (2tc, 128)
+            s2[1::2, :] = ai[:, sl]
+            o_ref[0, sl, :] = s2[...].T  # (128, 2tc) = [k-slice, trail]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(bpre, rest2 // (2 * tc)),
+        in_specs=[spec] + [_const_spec(t) for t in tables],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bpre, L, rest2), raw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * tc, 128), raw.dtype),
+            pltpu.VMEM((tc, L), raw.dtype),
+            pltpu.VMEM((tc, L), raw.dtype),
+            pltpu.VMEM((2 * tc, 128), raw.dtype),
+        ]
+        + _fold_scratches(plan, tc, raw.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bpre * L * rest2 * fl,
+            bytes_accessed=2 * bpre * L * rest2 * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret_mode(),
+        **(ds_params("parallel", "parallel") if ds else {}),
+    )(x3, *tables)
+    return out.reshape(raw.shape)
+
+
 def col_raw_call(
     raw, bpre: int, plan: Plan1D, rest2: int, sign: int, names: list[str],
     bank, config, precision=None, scale: float = 1.0,

@@ -308,3 +308,91 @@ def test_global_sq_bt2_parity():
     gc = got.view(np.complex64).reshape(batch, n)
     rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
     assert rel < 1e-4, rel
+
+
+def test_global_fused_engine_parity():
+    """The fused persistent-scratch engine ({"eng": 6}) matches np.fft with
+    multi-tile phases (nA=4, nB=2 at t1=64, t2=128) including the folded
+    scale — exercises the clamped block index maps and the scratch planes
+    persisting across grid steps."""
+    from portfft_tpu import fastpath
+    from portfft_tpu.ops import pallas_global
+
+    n, batch = 65536, 3
+    plan = pfft.Descriptor(
+        lengths=[n], number_of_transforms=batch, forward_scale=0.5
+    ).commit(use_pallas=True)
+    assert pallas_global.global_fused_supported(plan.plans[n], plan.config)
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    assert entry is not None and entry[0] == "global2"
+    rng = np.random.default_rng(23)
+    x = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    fn = fastpath.build_fn(
+        plan, Direction.FORWARD, entry, 2 * batch * n,
+        overrides={"eng": 6, "t1": 64, "t2": 128},
+    )
+    got = np.asarray(fn(jnp.asarray(x), plan._bank_arrays))
+    ref = np.fft.fft(x.view(np.complex64).reshape(batch, n)) * 0.5
+    gc = got.view(np.complex64).reshape(batch, n)
+    rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+
+def test_global_fused_engine_fused_sub_parity():
+    """eng 6 on a GLOBAL plan whose g1 is FUSED [8, 128] — the streamed
+    Z-table phase-A path with clamped twiddle index maps."""
+    from portfft_tpu.enums import Level
+    from portfft_tpu.ops import pallas_global
+    from portfft_tpu.planner import Plan1D
+
+    cfg = DeviceConfig(vmem_bytes=64 * 2**20)
+    n1, n2 = 1024, 128
+    n = n1 * n2
+    sub1, sub2 = plan_1d(n1, cfg, 4), plan_1d(n2, cfg, 4)
+    assert sub1.level == Level.FUSED and sub2.level == Level.DIRECT
+    plan = Plan1D(n=n, level=Level.GLOBAL, factors=[], sub=(sub1, sub2))
+    assert pallas_global.global_fused_supported(plan, cfg)
+
+    bank = xla_fft.TwiddleBank(np.float32)
+    keys = xla_fft.collect_bank_keys(plan, -1, bank)
+    arrs = bank.device_arrays()
+    batch = 2
+    rng = np.random.default_rng(29)
+    raw = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    out = pallas_global.global_fused_raw_call(
+        jnp.asarray(raw), batch, plan, -1, keys, arrs, cfg,
+        t1_override=64, t2_override=128,
+    )
+    assert out is not None
+    gc = np.asarray(out).view(np.complex64).reshape(batch, n)
+    ref = np.fft.fft(raw.view(np.complex64).reshape(batch, n))
+    rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+
+def test_global_fused_engine_backward_distinct_subs():
+    """eng 6 backward (sign=+1) on the 512x256 split: distinct DIRECT
+    table sets and the non-shared tabs2 indexing."""
+    from portfft_tpu.enums import Level
+    from portfft_tpu.ops import pallas_global
+
+    cfg = DeviceConfig(vmem_bytes=64 * 2**20)
+    n = 1 << 17
+    plan = plan_1d(n, cfg, 4)
+    assert plan.level == Level.GLOBAL
+    assert pallas_global.global_fused_supported(plan, cfg)
+
+    bank = xla_fft.TwiddleBank(np.float32)
+    keys = xla_fft.collect_bank_keys(plan, +1, bank)
+    arrs = bank.device_arrays()
+    batch = 1
+    rng = np.random.default_rng(31)
+    raw = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
+    out = pallas_global.global_fused_raw_call(
+        jnp.asarray(raw), batch, plan, +1, keys, arrs, cfg
+    )
+    assert out is not None
+    gc = np.asarray(out).view(np.complex64).reshape(batch, n)
+    ref = np.fft.ifft(raw.view(np.complex64).reshape(batch, n)) * n
+    rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel

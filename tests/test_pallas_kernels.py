@@ -180,3 +180,59 @@ def test_pallas_multidim_unit_axes():
     flat = oracle.materialize(desc, x, F)
     out = np.asarray(plan.compute_forward(flat))
     oracle.verify(desc, out, ref, F, check_padding=False)
+
+
+def test_pallas_multidim_cm_variant():
+    # the widened-matmul column kernel ({"cm": 1}) matches the pairswap
+    # default on fused (1024) and direct (128/256) column axes
+    from portfft_tpu import Direction, fastpath
+
+    for lengths, b in ([128, 256], 2), ([1024, 128], 1):
+        desc = Descriptor(lengths=lengths, number_of_transforms=b)
+        plan = desc.commit(use_pallas=True)
+        entry = plan._raw_fast[Direction.FORWARD]
+        assert entry[0] == "multidim"
+        x = oracle.gen_input(desc, 21)
+        ref = oracle.reference_output(desc, x, F)
+        flat = oracle.materialize(desc, x, F)
+        total = desc.number_of_transforms * desc.get_flattened_length()
+        fn = fastpath.build_fn(
+            plan, Direction.FORWARD, entry, 2 * total,
+            overrides={"cm": 1},
+        )
+        raw = np.ascontiguousarray(flat).view(np.float32)
+        import jax.numpy as jnp
+
+        got = np.asarray(fn(jnp.asarray(raw), plan._bank_arrays))
+        out = got.view(np.complex64)
+        oracle.verify(desc, out, ref, F, check_padding=False)
+
+
+def test_pallas_bi_col_cm_variant():
+    # BATCH_INTERLEAVED 1D through the mm column kernel
+    from portfft_tpu import Direction, fastpath
+
+    n, b = 256, 128
+    desc = Descriptor(
+        lengths=[n],
+        number_of_transforms=b,
+        forward_strides=[b],
+        forward_distance=1,
+        backward_strides=[b],
+        backward_distance=1,
+    )
+    plan = desc.commit(use_pallas=True)
+    entry = plan._raw_fast[Direction.FORWARD]
+    assert entry[0] == "bi_col" and entry[4] is not None
+    x = oracle.gen_input(desc, 22)
+    ref = oracle.reference_output(desc, x, F)
+    flat = oracle.materialize(desc, x, F)
+    fn = fastpath.build_fn(
+        plan, Direction.FORWARD, entry, 2 * n * b, overrides={"cm": 1}
+    )
+    raw = np.ascontiguousarray(flat).view(np.float32)
+    import jax.numpy as jnp
+
+    got = np.asarray(fn(jnp.asarray(raw), plan._bank_arrays))
+    out = got.view(np.complex64)
+    oracle.verify(desc, out, ref, F, check_padding=False)

@@ -291,10 +291,37 @@ class CommittedDescriptor:
         from .enums import Domain
 
         if self._df64:
-            raise UnsupportedConfiguration(
-                "apply() is not available on the emulated-fp64 path (its "
-                "hi/lo split is host-side); use compute_forward/backward"
-            )
+            # Traceable df64: the caller holds double-double data as hi/lo
+            # f32 plane pairs (f64 values cannot cross the TPU device
+            # boundary, so the split itself cannot be traced on device) —
+            # pass x=(re_hi, re_lo), x_imag=(im_hi, im_lo) in canonical
+            # (batch, *lengths) shape; returns the matching pair-of-pairs.
+            # Composes with user jit/scan exactly like the fp32 apply().
+            if self.descriptor.domain != Domain.COMPLEX:
+                raise UnsupportedConfiguration(
+                    "apply() supports COMPLEX-domain plans; REAL "
+                    "transforms go through compute_forward/backward"
+                )
+            if not (
+                isinstance(x, tuple)
+                and len(x) == 2
+                and isinstance(x_imag, tuple)
+                and len(x_imag) == 2
+            ):
+                raise UnsupportedConfiguration(
+                    "apply() on an emulated-fp64 plan takes hi/lo f32 "
+                    "plane pairs: x=(re_hi, re_lo), x_imag=(im_hi, im_lo) "
+                    "— the f64<->2xf32 split cannot cross the TPU device "
+                    "boundary inside a traced program"
+                )
+            d = self.descriptor
+            shape = (d.number_of_transforms, *d.lengths)
+            planes = [
+                jnp.asarray(p).reshape(shape).astype(jnp.float32)
+                for p in (*x, *x_imag)
+            ]
+            core = self._df64_core(direction)
+            return core(*planes, self._df64_bank)
         if self.descriptor.domain != Domain.COMPLEX:
             raise UnsupportedConfiguration(
                 "apply() supports COMPLEX-domain plans; REAL transforms "
@@ -376,6 +403,45 @@ class CommittedDescriptor:
             )
         return idx
 
+    def _index_bound(self, direction: Direction) -> int:
+        """Largest element index the layout can touch (host math)."""
+        d = self.descriptor
+        lengths = d.domain_lengths(direction)
+        strides = d.get_strides(direction)
+        hi = d.get_offset(direction)
+        hi += d.get_distance(direction) * (d.number_of_transforms - 1)
+        for length, stride in zip(lengths, strides):
+            hi += stride * (length - 1)
+        return hi
+
+    def _indices_traced(self, direction: Direction):
+        """(batch, *domain_lengths) element indices computed IN-TRACE from
+        per-axis iotas — the irregular-layout fallback's index array is
+        built on device instead of being baked as a (batch, N) constant
+        into the executable (and shipped host->device per compile).  The
+        reference's counterpart keeps arbitrary strides inside kernels via
+        md_view (memory_views.hpp:126-229); here the transient device
+        array is the TPU-shaped equivalent.  Returns None when an index
+        could overflow int32 (pathological layouts take the host path)."""
+        if self._index_bound(direction) >= 2**31:
+            return None
+        d = self.descriptor
+        lengths = d.domain_lengths(direction)
+        strides = d.get_strides(direction)
+        batch = d.number_of_transforms
+        idx = d.get_offset(direction) + d.get_distance(
+            direction
+        ) * jnp.arange(batch, dtype=jnp.int32).reshape(
+            (batch,) + (1,) * len(lengths)
+        )
+        for axis, (length, stride) in enumerate(zip(lengths, strides)):
+            shape = [1] * (len(lengths) + 1)
+            shape[axis + 1] = length
+            idx = idx + stride * jnp.arange(length, dtype=jnp.int32).reshape(
+                shape
+            )
+        return idx
+
     def _regular_1d(self, direction: Direction):
         """(offset, stride, distance, n, batch) when the UNPACKED layout is
         a regular 1D rectangle — batch rows of length ``distance`` holding
@@ -438,7 +504,9 @@ class CommittedDescriptor:
                 block = jnp.pad(block, (0, pad))
             x2 = block.reshape(b, dist)
             return jax.lax.slice(x2, (0, 0), (b, span), (1, s))
-        idx = jnp.asarray(self._indices(direction))
+        idx = self._indices_traced(direction)
+        if idx is None:
+            idx = jnp.asarray(self._indices(direction))
         return jnp.take(flat, idx, axis=0)
 
     def _scatter(self, result, flat_out, direction: Direction):
@@ -487,7 +555,9 @@ class CommittedDescriptor:
             return jax.lax.dynamic_update_slice_in_dim(
                 flat_out, merged, o, axis=0
             )
-        idx = jnp.asarray(self._indices(direction))
+        idx = self._indices_traced(direction)
+        if idx is None:
+            idx = jnp.asarray(self._indices(direction))
         return flat_out.at[idx].set(result)
 
     # ------------------------------------------------------------------

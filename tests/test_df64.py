@@ -264,3 +264,48 @@ def test_df64_split_out_tuple():
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 1e-13, rel
     assert np.asarray(yr).shape == (b * n,)
+
+
+def test_df64_apply_traceable():
+    """apply() on an emulated-fp64 plan (round-4: VERDICT r3 #9) takes
+    hi/lo f32 plane pairs, composes with user jit, and matches the
+    compute_forward result at df64 precision."""
+    import jax
+    import jax.numpy as jnp
+
+    from portfft_tpu.ops.df64 import join_f64, split_f64
+
+    n, batch = 64, 3
+    plan = Descriptor(
+        lengths=[n], number_of_transforms=batch, precision="float64"
+    ).commit(emulate_fp64=True)
+    rng = np.random.default_rng(5)
+    x = (
+        rng.standard_normal(batch * n) + 1j * rng.standard_normal(batch * n)
+    ).astype(np.complex128)
+    rh, rl = split_f64(x.real)
+    ih, il = split_f64(x.imag)
+
+    @jax.jit
+    def prog(rh, rl, ih, il):
+        (orh, orl), (oih, oil) = plan.apply(
+            (rh, rl), (ih, il)
+        )
+        # compose: another traced op on the result
+        return orh * 1.0, orl, oih, oil
+
+    orh, orl, oih, oil = prog(
+        *(jnp.asarray(p).reshape(batch, n) for p in (rh, rl, ih, il))
+    )
+    got = join_f64(np.asarray(orh), np.asarray(orl)) + 1j * join_f64(
+        np.asarray(oih), np.asarray(oil)
+    )
+    ref = np.fft.fft(x.reshape(batch, n), axis=1)
+    rel = np.linalg.norm(got.reshape(-1) - ref.reshape(-1)) / np.linalg.norm(
+        ref
+    )
+    assert rel < 1e-13, rel
+
+    # misuse: plain arrays (not hi/lo pairs) raise the typed error
+    with pytest.raises(UnsupportedConfiguration):
+        plan.apply(jnp.zeros((batch, n)), jnp.zeros((batch, n)))

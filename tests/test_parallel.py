@@ -223,3 +223,24 @@ def test_distributed_commit_skips_single_device_plan():
     got = np.asarray(yr) + 1j * np.asarray(yi)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 1e-4, rel
+
+
+def test_distributed_large_seq_with_pallas_leaf(devices):
+    """Stretch (round-3 VERDICT #10): a 2^22-point sequence-sharded
+    transform with Pallas leaf kernels on the 8-device interpret mesh —
+    the full TPU-pod configuration at a size whose dense single-device
+    twiddle bank alone would be 128 MB."""
+    mesh = make_mesh((8,), ("sp",))
+    n = 1 << 22
+    dfft = DistributedFFT(n, mesh, use_pallas=True)
+    rng = np.random.default_rng(7)
+    xr = rng.uniform(-1, 1, (1, n)).astype(np.float32)
+    xi = rng.uniform(-1, 1, (1, n)).astype(np.float32)
+    xrd = jax.device_put(jnp.asarray(xr), dfft.input_sharding())
+    xid = jax.device_put(jnp.asarray(xi), dfft.input_sharding())
+    yr, yi = dfft.forward(xrd, xid)
+    # per-shard outputs stay sharded over the mesh
+    assert len(yr.sharding.device_set) == 8
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(xr + 1j * xi, axis=1)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 5e-5

@@ -158,9 +158,11 @@ def main():
             r = best.get(name)
             if r is None or t < r[0]:
                 best[name] = (t, fl)
+        # the block shows the running best across ALL rounds so far, not
+        # this round's own timings — label it as such
         for name, (t, fl) in best.items():
             print(
-                f"r{rnd} {name:12s} {t*1e3:8.3f} ms  "
+                f"best@r{rnd} {name:12s} {t*1e3:8.3f} ms  "
                 f"{fl/t/1e12:7.2f} TFLOP/s",
                 flush=True,
             )

@@ -221,6 +221,53 @@ def prepare_config(name, n, batch, rotate=0):
             jnp.asarray(rng.uniform(-1, 1, 2 * batch * n).astype(np.float32))
         )
 
+    # Device-loop timer: RUNS_TO_AVERAGE applications of the raw fast-path
+    # kernel chained INSIDE one executable (lax.fori_loop), so a burst is
+    # ONE dispatch.  Host-side per-iteration dispatch cost — the dominant
+    # noise of the tunneled runtime, which the python-loop subtraction
+    # cannot cancel (it only cancels the per-sync constant) — never enters
+    # the measurement; t(2R)-t(R) over two chained calls is pure device
+    # time.  This is the reference's event_profiling device-time protocol
+    # (launch_bench.hpp:171-234) for a runtime with no event timestamps.
+    # Chained FFTs overflow f32 after ~15 applications (|y| grows ~sqrt(n)
+    # per pass); inf/nan arithmetic runs at full speed on TPU VPU/MXU, so
+    # the timing stays valid.
+    chain = None
+    try:
+        from portfft_tpu import fastpath as _fp
+
+        entry = plan._raw_fast.get(pfft.Direction.FORWARD)
+        if entry is not None:
+            traced = _fp.build_fn(
+                plan, pfft.Direction.FORWARD, entry, 2 * batch * n
+            )
+            if traced is not None:
+                import jax
+
+                if traced(xd, plan._bank_arrays).shape == xd.shape:
+                    # statically UNROLLED chains (python loop inside jit):
+                    # a lax.fori_loop carry pins the loop state to a fixed
+                    # buffer and costs a per-iteration copy (~one extra
+                    # HBM sweep — measured +1.7 ms/iter at N=16), which
+                    # unrolling avoids; two executables (R and 2R) per
+                    # config, both persistent-cached.
+                    def make_chain(k):
+                        @jax.jit
+                        def chained(raw, bank):
+                            y = raw
+                            for _ in range(k):
+                                y = traced(y, bank)
+                            return y
+
+                        return chained
+
+                    chain = (
+                        make_chain(RUNS_TO_AVERAGE),
+                        make_chain(2 * RUNS_TO_AVERAGE),
+                    )
+    except Exception:
+        chain = None
+
     # First run verifies against the oracle on a slice (reference
     # PORTFFT_VERIFY_BENCHMARKS, launch_bench.hpp:94-102).
     y = plan.compute_forward(xd)
@@ -235,12 +282,27 @@ def prepare_config(name, n, batch, rotate=0):
     return {
         "name": name, "n": n, "batch": batch,
         "compute": plan.compute_forward,
+        "chain": chain, "bank": plan._bank_arrays if chain else None,
         "inputs": inputs, "y": y, "rel": rel, "times": [],
     }
 
 
 def sample_config(st):
-    """One timing burst (RUNS_TO_AVERAGE computes) for a prepared config."""
+    """One timing burst for a prepared config.
+
+    Each burst times the SAME work at two iteration counts (R and 2R
+    asynchronously-dispatched computes in one sync window).  The host
+    wall-clock of a burst is ``t(k) = c + k·d`` where ``c`` is the
+    per-sync dispatch/readback overhead of the tunneled runtime and ``d``
+    the true per-iteration device time; the difference cancels ``c``:
+
+        d = (t(2R) - t(R)) / R
+
+    This is the reference's device-time protocol
+    (event_profiling::command_start/end, launch_bench.hpp:171-234)
+    translated to a runtime with no event timestamps.  Both the wall
+    average (t(2R)/2R, comparable to earlier rounds) and the subtracted
+    device estimate are recorded."""
     y = st["y"]
     compute, inputs = st["compute"], st["inputs"]
     _sync(y)
@@ -248,7 +310,35 @@ def sample_config(st):
     for it in range(RUNS_TO_AVERAGE):
         y = compute(inputs[it % len(inputs)])
     _sync(y)
-    st["times"].append((time.perf_counter() - t0) / RUNS_TO_AVERAGE)
+    t_r = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for it in range(2 * RUNS_TO_AVERAGE):
+        y = compute(inputs[it % len(inputs)])
+    _sync(y)
+    t_2r = time.perf_counter() - t0
+    st["times"].append(t_2r / (2 * RUNS_TO_AVERAGE))
+    if st.get("chain") is not None:
+        # device-loop: R and 2R chained applications, ONE dispatch each —
+        # the subtraction cancels the whole host/tunnel dispatch path
+        x0 = st["inputs"][0]
+        bank = st["bank"]
+        chain_r, chain_2r = st["chain"]
+        t0 = time.perf_counter()
+        yc = chain_r(x0, bank)
+        _sync(yc)
+        c_r = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        yc = chain_2r(x0, bank)
+        _sync(yc)
+        c_2r = time.perf_counter() - t0
+        if c_2r > c_r:
+            st.setdefault("dev_times", []).append(
+                (c_2r - c_r) / RUNS_TO_AVERAGE
+            )
+    elif t_2r > t_r:
+        st.setdefault("dev_times", []).append(
+            (t_2r - t_r) / RUNS_TO_AVERAGE
+        )
     st["y"] = y
 
 
@@ -277,16 +367,25 @@ def report_config(st, hbm_gbps, ceiling_gbps=None):
     gflops = flops / t / 1e9
     gbps = bytes_moved / t / 1e9
     eff = gbps / hbm_gbps
+    dev_t = min(st["dev_times"]) if st.get("dev_times") else None
+    dev_gbps = bytes_moved / dev_t / 1e9 if dev_t else None
     ceil_txt = ""
     if ceiling_gbps:
         ceil_txt = f"  {100*gbps/ceiling_gbps:5.1f}% of ceiling"
+    dev_txt = f"  dev {dev_t*1e3:.3f} ms {dev_gbps:.1f} GB/s" if dev_t else ""
     print(
         f"  {st['name']:18s} N={n:<7d} b={batch:<9d} {t*1e3:8.3f} ms  "
         f"{gflops:9.1f} GFLOP/s  {gbps:8.1f} GB/s  {100*eff:5.1f}% roofline"
-        f"{ceil_txt}  rel_err={st['rel']:.1e}",
+        f"{ceil_txt}{dev_txt}  rel_err={st['rel']:.1e}",
         file=sys.stderr,
     )
-    return gflops, eff
+    return {
+        "gflops": gflops, "eff": eff, "gbps": gbps, "ms": t * 1e3,
+        "dev_gbps": dev_gbps,
+        "dev_ms": dev_t * 1e3 if dev_t else None,
+        "dev_gflops": flops / dev_t / 1e9 if dev_t else None,
+        "dev_eff": dev_gbps / hbm_gbps if dev_t else None,
+    }
 
 
 GROUP_BUDGET_BYTES = 7 << 30  # resident buffers per round-robin group
@@ -341,14 +440,17 @@ def bench_group(configs, hbm_gbps, ceiling_sample, ceiling, rotate=0):
 
 def bench_extra(cfg):
     """Extended sets: backward, Bluestein prime, strided, real-domain,
-    multi-dim (the reference's planned sets).  Each set is prepared up
-    front and timed round-robin."""
+    multi-dim (the reference's planned sets, reference_dft_set.hpp:37-113).
+    Each set is prepared up front and timed round-robin.  Returns a dict
+    name -> {ms, gflops, dev_ms} recorded in the round JSON so regressions
+    in non-headline paths stay visible round-over-round."""
     import jax.numpy as jnp
 
     import portfft_tpu as pfft
     from portfft_tpu import Domain
 
     rng = np.random.default_rng(0)
+    recorded = {}
 
     def run_set(prepare, configs):
         states = []
@@ -360,11 +462,17 @@ def bench_extra(cfg):
                 print(f"  {name}: FAILED {e}", file=sys.stderr)
         for st in sample_states(states, samples=3):
             t = min(st["times"])
+            dev_t = min(st["dev_times"]) if st.get("dev_times") else None
             print(
                 f"  {st['name']:18s} {st['label']:12s} {t*1e3:8.3f} ms "
                 f"{st['flops']/t/1e9:9.1f} GFLOP/s" + st["tail"](t),
                 file=sys.stderr,
             )
+            recorded[st["name"]] = {
+                "ms": round(t * 1e3, 3),
+                "gflops": round(st["flops"] / t / 1e9, 1),
+                "dev_ms": round(dev_t * 1e3, 3) if dev_t else None,
+            }
 
     def prep_extra(name, n, batch):
         if "strided" in name:
@@ -439,6 +547,7 @@ def bench_extra(cfg):
     run_set(prep_extra, EXTRA_CONFIGS)
     run_set(prep_real, REAL_CONFIGS)
     run_set(prep_md, MULTIDIM_CONFIGS)
+    return recorded
 
 
 def main():
@@ -483,10 +592,10 @@ def main():
     results, ceiling = bench_group(
         CONFIGS, cfg.hbm_gbps, ceiling_sample, ceiling, rotate
     )
-    gflops_list = [g for g, _ in results.values()]
-    eff_list = [e for _, e in results.values()]
+    gflops_list = [r["gflops"] for r in results.values()]
+    eff_list = [r["eff"] for r in results.values()]
     # north-star ladder top (not in the headline geomean — see docstring)
-    _, ceiling = bench_group(
+    ladder_results, ceiling = bench_group(
         LADDER_CONFIGS, cfg.hbm_gbps, ceiling_sample, ceiling, rotate
     )
 
@@ -504,24 +613,70 @@ def main():
         )
         return
 
-    if "--set" in sys.argv and "full" in sys.argv:
-        bench_extra(cfg)
+    # full surface recorded by default (VERDICT r3 missing #4): backward,
+    # Bluestein prime, strided, REAL, multi-dim all land in the round JSON.
+    # --set headline skips them (quick runs).
+    extra_results = {}
+    if not ("--set" in sys.argv and "headline" in sys.argv):
+        try:
+            extra_results = bench_extra(cfg)
+        except Exception as exc:
+            print(f"  extra sets FAILED: {exc}", file=sys.stderr)
 
     geo_gflops = math.exp(sum(math.log(g) for g in gflops_list) / len(gflops_list))
     geo_eff = math.exp(sum(math.log(e) for e in eff_list) / len(eff_list))
+    # Headline basis: DEVICE time when every headline config produced a
+    # device-loop measurement (the reference's roofline comparisons are
+    # device-time comparisons; our wall numbers carry 2-5 ms of tunneled
+    # per-dispatch overhead that measures the harness, not the library).
+    # Wall-based numbers stay in the JSON ("wall_*") for round-over-round
+    # continuity.
+    dev_g = [r["dev_gflops"] for r in results.values()]
+    dev_e = [r["dev_eff"] for r in results.values()]
+    basis = "wall"
+    if all(g is not None for g in dev_g) and dev_g:
+        basis = "device"
+        wall_gflops, wall_eff = geo_gflops, geo_eff
+        geo_gflops = math.exp(sum(math.log(g) for g in dev_g) / len(dev_g))
+        geo_eff = math.exp(sum(math.log(e) for e in dev_e) / len(dev_e))
     out = {
         "metric": "batched 1D C2C fp32 fwd GFLOP/s (geomean of portFFT bench set)",
         "value": round(geo_gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(geo_eff / 0.80, 4),
+        "time_basis": basis,
     }
+    if basis == "device":
+        out["wall_value"] = round(wall_gflops, 2)
+        out["wall_vs_baseline"] = round(wall_eff / 0.80, 4)
+    # efficiency denominator: the session ceiling is the max over probe
+    # samples AND every observed config rate — kernels have outrun the
+    # probe by 1.8x in slow windows, and a quality ratio over a lost race
+    # reads >100% (BENCH_r03's 129.1%); with the running max it is <= 100
+    # by construction.
+    best_seen = max(
+        (
+            max(r["gbps"], r["dev_gbps"] or 0.0)
+            for r in {**results, **ladder_results}.values()
+        ),
+        default=0.0,
+    )
+    ceiling = max(ceiling, best_seen)
     if ceiling:
         out["session_ceiling_gbps"] = round(ceiling, 1)
-        # geomean of config GB/s relative to the same-session ceiling — the
-        # chip-weather-independent quality number (see measure_session_ceiling)
         out["pct_of_session_ceiling"] = round(
             100 * geo_eff * cfg.hbm_gbps / ceiling, 1
         )
+    sets = {}
+    for name, r in {**results, **ladder_results}.items():
+        sets[name] = {
+            "ms": round(r["ms"], 3),
+            "gbps": round(r["gbps"], 1),
+            "dev_ms": round(r["dev_ms"], 3) if r["dev_ms"] else None,
+            "dev_gbps": round(r["dev_gbps"], 1) if r["dev_gbps"] else None,
+        }
+    sets.update(extra_results)
+    out["sets"] = sets
     print(json.dumps(out))
 
 

@@ -695,6 +695,24 @@ def kara_matmul_last(ar, ai, refs):
     return t1 - t2, t3 - t1 - t2
 
 
+def kstackr_matmul_last(ar, ai, w6_ref):
+    """Complex right-DFT over the lane axis as ONE stacked MXU matmul.
+
+    ``w6_ref``: the (6n, 2n) bf16 table from TwiddleBank.mat_kstack_r.
+    The x3 precision terms and all four complex products ride one
+    K = 6n contraction against the lane stack [xrh xrl xrh xih xil xih];
+    output lanes [0, n) = re, [n, 2n) = im.  vs the Karatsuba form:
+    one matmul invocation instead of nine, no runtime xr+xi sum, four
+    operand splits instead of six — 1.33x the MXU FLOPs, which
+    probe_overlap showed are not the cost at these shapes."""
+    xrh, xrl = _split2(ar)
+    xih, xil = _split2(ai)
+    x6 = jnp.concatenate([xrh, xrl, xrh, xih, xil, xih], axis=-1)
+    y = _mm_f32(x6, w6_ref[...])
+    n = ar.shape[-1]
+    return y[..., :n], y[..., n:]
+
+
 def kstack_dft_left(xr2, xi2, sa_ref, f: int):
     """Complex DFT over the sublane axis as ONE stacked MXU matmul.
 

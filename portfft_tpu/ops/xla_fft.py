@@ -501,6 +501,36 @@ class TwiddleBank:
             self.host[key] = None
         return key
 
+    def mat_kstack_r(self, base_key: str, scale: float = 1.0) -> str:
+        """(6n, 2n) bf16 block table for the ONE-matmul complex
+        right-DFT at x3 precision (pallas_fft.kstackr_matmul_last).
+
+        Columns [yr | yi]; row blocks match the runtime lane stack
+        [xrh, xrl, xrh, xih, xil, xih] under the x3 scheme
+        (xh@wh + xl@wh + xh@wl): [wrh wih; wrh wih; wrl wil;
+        -wih wrh; -wih wrh; -wil wrl].  Replaces the Karatsuba form's
+        nine matmul invocations (and its runtime xr+xi sum + two extra
+        operand splits) with one K=6n contraction — probe_overlap
+        measured the invocation count, not the FLOPs, as the cost."""
+        key = base_key + f"_ksr_{scale!r}"
+        if key not in self.host:
+            wr = self.host[base_key + "r"].astype(np.float64) * scale
+            wi = self.host[base_key + "i"].astype(np.float64) * scale
+            wrh, wrl = _presplit_hl(wr)
+            wih, wil = _presplit_hl(wi)
+            nih, nil = _presplit_hl(-wi)
+            rows = [
+                np.concatenate([wrh, wih], axis=1),
+                np.concatenate([wrh, wih], axis=1),
+                np.concatenate([wrl, wil], axis=1),
+                np.concatenate([nih, wrh], axis=1),
+                np.concatenate([nih, wrh], axis=1),
+                np.concatenate([nil, wrl], axis=1),
+            ]
+            self.host[key + "k"] = np.concatenate(rows, axis=0)
+            self.host[key] = None
+        return key
+
     def vmat(self, n: int, sign: int, chunk: int, scale: float) -> str:
         """Interleaved block-diagonal DFT matrix (see
         twiddle.interleaved_dft_matrix) — used by the raw-I/O direct kernel."""

@@ -19,8 +19,13 @@ def test_bench_group_round_robin_results():
     configs = [("tiny16", 16, 8), ("tiny64", 64, 4)]
     results, ceiling = bench.bench_group(configs, 819.0, None, 0.0)
     assert set(results) == {"tiny16", "tiny64"}
-    for gflops, eff in results.values():
-        assert gflops > 0 and 0 < eff < 1
+    for r in results.values():
+        assert r["gflops"] > 0 and 0 < r["eff"] < 1
+        assert r["gbps"] > 0 and r["ms"] > 0
+        # the device-time subtraction may legitimately come up empty on a
+        # noisy host (t(2R) <= t(R)), but when present it must be positive
+        if r["dev_ms"] is not None:
+            assert r["dev_ms"] > 0 and r["dev_gbps"] > 0
     assert ceiling == 0.0
 
 
@@ -66,10 +71,12 @@ def test_bench_extra_round_robin(monkeypatch, capsys):
     class Cfg:
         hbm_gbps = 100.0
 
-    bench.bench_extra(Cfg())
+    recorded = bench.bench_extra(Cfg())
     err = capsys.readouterr().err
     for name in ("backward_tiny", "strided_tiny", "real_tiny", "md_8x16"):
         assert name in err, err
+        # every extra-set config lands in the round JSON (VERDICT r3 #4)
+        assert recorded[name]["ms"] > 0 and recorded[name]["gflops"] >= 0
     assert "FAILED" not in err, err
 
 
@@ -86,3 +93,34 @@ def test_bench_group_survives_failing_config(monkeypatch):
         [("bad", 7, 3), ("a16", 16, 4)], 819.0, None, 0.0
     )
     assert set(results) == {"a16"}
+
+
+def test_prepare_config_device_loop_chain(monkeypatch):
+    """The device-loop timer (prepare_config "chain"): RUNS_TO_AVERAGE
+    raw-fastpath applications chained inside one executable — built
+    whenever the plan has a shape-preserving raw fast path, and exercised
+    by sample_config without error."""
+    import portfft_tpu as pfft
+
+    orig = pfft.Descriptor.commit
+
+    def commit_pallas(self, **kw):
+        kw.setdefault("use_pallas", True)  # interpret-mode kernels on CPU
+        return orig(self, **kw)
+
+    monkeypatch.setattr(pfft.Descriptor, "commit", commit_pallas)
+    monkeypatch.setattr(bench, "RUNS_TO_AVERAGE", 2)
+    st = bench.prepare_config("tiny", 256, 64)
+    assert st["chain"] is not None, "raw fast path should chain at n=256"
+    # chain_2r equals chain_r applied twice (statically unrolled pair)
+    import numpy as np
+
+    chain_r, chain_2r = st["chain"]
+    one = np.asarray(chain_r(st["inputs"][0], st["bank"]))
+    two = np.asarray(chain_2r(st["inputs"][0], st["bank"]))
+    import jax.numpy as jnp
+
+    again = np.asarray(chain_r(jnp.asarray(one), st["bank"]))
+    assert np.allclose(two, again, rtol=1e-4, atol=1e-3)
+    bench.sample_config(st)
+    assert st["times"]

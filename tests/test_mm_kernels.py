@@ -396,3 +396,37 @@ def test_global_fused_engine_backward_distinct_subs():
     ref = np.fft.ifft(raw.view(np.complex64).reshape(batch, n)) * n
     rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
     assert rel < 1e-4, rel
+
+
+def test_kstackr_matmul_matches_kara():
+    """The one-matmul stacked right-DFT (mat_kstack_r + kstackr_matmul_last)
+    matches the Karatsuba form and the f64 reference at the x3 error floor,
+    including a folded scale."""
+    import jax.numpy as jnp
+
+    from portfft_tpu.ops import xla_fft
+    from portfft_tpu.ops.pallas_fft import (
+        kara_matmul_last,
+        kstackr_matmul_last,
+    )
+
+    bank = xla_fft.TwiddleBank(np.float32)
+    w = bank.dft(256, -1)
+    kk = bank.mat_kara(w)
+    ks = bank.mat_kstack_r(w, scale=0.5)
+    arrs = bank.device_arrays()
+    rng = np.random.default_rng(0)
+    ar = jnp.asarray(rng.uniform(-1, 1, (64, 256)).astype(np.float32))
+    ai = jnp.asarray(rng.uniform(-1, 1, (64, 256)).astype(np.float32))
+    kr, ki = kara_matmul_last(ar, ai, [arrs[kk + str(j)] for j in range(1, 7)])
+    sr, si = kstackr_matmul_last(ar, ai, arrs[ks + "k"])
+    ref = (np.asarray(ar) + 1j * np.asarray(ai)) @ (
+        bank.host[w + "r"] + 1j * bank.host[w + "i"]
+    )
+
+    def rel(x, r):
+        return np.linalg.norm(np.asarray(x) - r) / np.linalg.norm(r)
+
+    assert rel(sr * 2, ref.real) < 1e-5
+    assert rel(si * 2, ref.imag) < 1e-5
+    assert rel(sr * 2, np.asarray(kr)) < 2e-5

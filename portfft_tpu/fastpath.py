@@ -458,8 +458,70 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         ct_col = overrides.get("ct", 0)  # column-pass lane tile
         ds_col = bool(overrides.get("ds"))
         cm_col = bool(overrides.get("cm"))
+        # fused trailing-2D kernel (md2): both trailing axes in ONE HBM
+        # round trip via the eng-6 persistent-scratch structure — default
+        # when supported ({"m2": 0} disables; mt1/mt2 tile overrides)
+        plan_a = (
+            committed.plans[lengths[-2]]
+            if len(lengths) >= 2 and lengths[-2] > 1
+            else None
+        )
+        mt1 = overrides.get("mt1", 0)
+        mt2 = overrides.get("mt2", 0)
+        use_m2 = (
+            overrides.get("m2", 1)
+            and plan_a is not None
+            and pallas_multidim.md2_supported(
+                plan_a, plan_last, committed.config,
+                # tuned/raced tile overrides were device-verified and may
+                # use the kernel's 2x VMEM slack; the default stays strict
+                slack=2.0 if (mt1 or mt2) else 1.0,
+            )
+        )
 
         def fn(raw, bank):
+            if use_m2:
+                x = pallas_multidim.md2_fused_raw_call(
+                    raw, total // (lengths[-2] * lengths[-1]), plan_a,
+                    plan_last, sign, committed._bank_keys, bank,
+                    committed.config, committed.matmul_precision,
+                    scale if len(lengths) == 2 else 1.0, mt1, mt2,
+                )
+                if x is not None:
+                    for axis in range(len(lengths) - 3, -1, -1):
+                        ln = lengths[axis]
+                        if ln == 1:
+                            continue
+                        rest2 = 2 * math.prod(lengths[axis + 1 :])
+                        bpre = d.number_of_transforms * math.prod(
+                            lengths[:axis]
+                        )
+                        sc = scale if axis == 0 else 1.0
+                        xc = None
+                        if cm_col and cols_mm[axis] is not None:
+                            xc = pallas_multidim.col_raw_mm_call(
+                                x, bpre, committed.plans[ln], rest2, sign,
+                                cols_mm[axis], bank, committed.config,
+                                committed.matmul_precision, sc,
+                                ct_override=ct_col, ds=ds_col,
+                            )
+                        if xc is None:
+                            xc = pallas_multidim.col_raw_call(
+                                x, bpre, committed.plans[ln], rest2, sign,
+                                cols[axis], bank, committed.config,
+                                committed.matmul_precision, sc,
+                                ct_override=ct_col, ds=ds_col,
+                            )
+                        if xc is None:
+                            raise RawFastUnavailable()
+                        x = xc
+                    if (
+                        scale != 1.0
+                        and len(lengths) > 2
+                        and lengths[0] == 1
+                    ):
+                        x = x * scale  # the axis-0 column pass was a skip
+                    return x
             if last[0] == "direct":
                 _, key, chunk, rt = last
                 x = pallas_fft.direct_raw_call(

@@ -314,3 +314,203 @@ def col_raw_call(
         **(ds_params("parallel", "parallel") if ds else {}),
     )(x3, *tables)
     return out.reshape(raw.shape)
+
+
+def md2_supported(
+    plan1: Plan1D, plan2: Plan1D, config, slack: float = 1.0
+) -> bool:
+    """Fused trailing-2D kernel gate (``md2_fused_raw_call``): both axis
+    plans must have lane-DFT shapes (DIRECT, or FUSED [a, 128]) with
+    128-multiple lengths, and the persistent (n2, n1) scratch planes plus
+    the larger phase working set must fit the VMEM estimate.
+
+    ``slack``: VMEM multiplier.  The DEFAULT path keeps 1.0 — a Mosaic
+    rejection of a default kernel pins the whole entry to the XLA
+    executor (committed._run), far worse than the per-axis pipeline, so
+    borderline shapes must decline at build time.  The autotuner probes
+    with 2.0 (its variants are compile-checked and parity-gated on the
+    device before they can be recorded)."""
+    from . import pallas_global as pg
+
+    for pln in (plan1, plan2):
+        if pln.level == Level.DIRECT:
+            pass
+        elif (
+            pln.level == Level.FUSED
+            and len(pln.factors) == 2
+            and pln.factors[1] == 128
+            and 128 % pln.factors[0] == 0
+        ):
+            pass
+        else:
+            return False
+        if pln.n % 128:
+            return False
+    n1, n2 = plan1.n, plan2.n
+    t1 = pg._pick_tile(n2, plan1, n1, config.vmem_bytes * 3 // 4, 256, 64)
+    t2 = pg._pick_tile(n1, plan2, n2, config.vmem_bytes * 3 // 4, 128, 64)
+    if not t1 or not t2:
+        return False
+    return md2_est_bytes(plan1, plan2, t1, t2) <= slack * config.vmem_bytes
+
+
+def md2_est_bytes(plan1: Plan1D, plan2: Plan1D, t1: int, t2: int) -> int:
+    """VMEM working-set estimate of the fused trailing-2D kernel: the
+    per-transform (n2, n1) scratch planes plus the larger phase set."""
+    from . import pallas_global as pg
+
+    planes = 2 * plan1.n * plan2.n * 4
+    return planes + max(
+        pg.pass_est_bytes(plan1, plan1.n, t1),
+        pg.pass_est_bytes(plan2, plan2.n, t2),
+    )
+
+
+def md2_fused_raw_call(
+    raw, batch, plan1: Plan1D, plan2: Plan1D, sign: int, bank_keys, bank,
+    config, precision=None, scale: float = 1.0, t1_override: int = 0,
+    t2_override: int = 0,
+):
+    """PACKED interleaved raw (2*batch*n1*n2,) -> trailing-2D-transformed
+    raw, ONE fused kernel — both axes in a single HBM round trip.
+
+    The per-axis pipeline pays one read+write sweep per axis (a 2D
+    transform = 4 sweeps); this kernel reuses the GLOBAL fused engine's
+    persistent-scratch structure (pallas_global.global_fused_raw_call)
+    with the inter-factor twiddle dropped (the 2D DFT has none) and a
+    row-major store (the 2D output is NOT digit-transposed):
+
+    * grid (batch, nA + nB), sequential;
+    * phase A (s < nA): input lane tile (1, n1, 2*t1) ->
+      transpose-deinterleave -> lane-DFT over n1 (the axis-0 DFT) ->
+      persistent scratch planes (n2, n1) = [a2, k1];
+    * phase B (s >= nA): scratch column slice (n2, t2) = [a2, k1-slice]
+      -> transpose -> lane-DFT over n2 (the axis-1 DFT) -> (t2, n2) =
+      [k1-slice, k2] -> per-128-lane sublane-interleave + transpose ->
+      output rows k1-slice, lanes 2*k2+p (t2 <= 128: Mosaic's
+      strided-sublane rule bounds the (256, t2) interleave scratch).
+
+    Reference counterpart: dispatch_dimensions' per-axis kernel chain
+    (committed_descriptor_impl.hpp:899-950) — which cannot fuse axes;
+    on TPU the fusion halves HBM traffic, the md bottleneck.
+    """
+    from . import pallas_global as pg
+
+    n1, n2 = plan1.n, plan2.n
+    prec = _kernel_precision(precision)
+    if n1 % 128 or n2 % 128:
+        return None
+    mm_ok = pg.mm_enabled(prec)
+    names1, use_mm1 = pg.sub_tables(plan1, sign, bank_keys, mm_ok)
+    names2, use_mm2 = pg.sub_tables(plan2, sign, bank_keys, mm_ok)
+
+    if t1_override and (n2 % t1_override or t1_override % 64):
+        t1_override = 0
+    if t2_override and (
+        n1 % t2_override or t2_override % 64 or t2_override > 128
+    ):
+        t2_override = 0
+    t1 = t1_override or pg._pick_tile(
+        n2, plan1, n1, config.vmem_bytes * 3 // 4, 256, 64
+    )
+    t2 = t2_override or pg._pick_tile(
+        n1, plan2, n2, config.vmem_bytes * 3 // 4, 128, 64
+    )
+    if not t1 or not t2:
+        return None
+    # default tiles keep the strict bound (a Mosaic rejection would pin
+    # the entry to the XLA executor); explicit overrides came through the
+    # autotuner's device-verified race and may use the 2x slack
+    slack = 2 if (t1_override or t2_override) else 1
+    if md2_est_bytes(plan1, plan2, t1, t2) > slack * config.vmem_bytes:
+        return None
+    nA = n2 // t1
+    nB = n1 // t2
+
+    x3 = raw.reshape(batch, n1, 2 * n2)
+    in_spec = pl.BlockSpec(
+        (1, n1, 2 * t1),
+        lambda bi, s: (bi, 0, jnp.minimum(s, nA - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, t2, 2 * n2),
+        lambda bi, s: (bi, jnp.maximum(s - nA, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    shared = names2 == names1
+    nt1 = len(names1)
+    nt2 = 0 if shared else len(names2)
+    nf1 = 0 if plan1.level == Level.DIRECT else 2
+
+    def kern(x_ref, *rest):
+        tabs1 = rest[:nt1]
+        tabs2 = tabs1 if shared else rest[nt1 : nt1 + nt2]
+        o_ref = rest[nt1 + nt2]
+        sc = rest[nt1 + nt2 + 1 :]
+        s3, pr, pi, s2, Sr, Si = sc[:6]
+        fold1 = sc[6 : 6 + nf1]
+        fold2 = sc[6 + nf1 :]
+        s = pl.program_id(1)
+
+        @pl.when(s < nA)
+        def _phase_a():
+            for j in range(n1 // 128):
+                sl = slice(j * 128, (j + 1) * 128)
+                s3[...] = x_ref[0, sl, :].T  # (2t1, 128)
+                pr[:, sl] = s3[0::2, :]      # (t1, n1) = [a2-slice, a1]
+                pi[:, sl] = s3[1::2, :]
+            ar, ai = pg._lane_dft(
+                pr[...], pi[...], plan1, tabs1, prec, fold1, mm=use_mm1
+            )  # (t1, n1) = [a2-slice, k1]
+            Sr[pl.ds(s * t1, t1), :] = ar
+            Si[pl.ds(s * t1, t1), :] = ai
+
+        @pl.when(s >= nA)
+        def _phase_b():
+            j = jnp.maximum(s - nA, 0)
+            row = pl.multiple_of(j * t2, t2)
+            br = Sr[:, pl.ds(row, t2)]   # (n2, t2) = [a2, k1-slice]
+            bi_ = Si[:, pl.ds(row, t2)]
+            cr, ci = pg._lane_dft(
+                br.T, bi_.T, plan2, tabs2, prec, fold2, mm=use_mm2
+            )  # (t2, n2) = [k1-slice, k2]
+            if scale != 1.0:
+                cr = cr * scale
+                ci = ci * scale
+            for jj in range(n2 // 128):
+                sl = slice(jj * 128, (jj + 1) * 128)
+                s2[0::2, :] = cr[:, sl].T  # (256, t2): sublane interleave
+                s2[1::2, :] = ci[:, sl].T
+                o_ref[0, :, 2 * jj * 128 : 2 * (jj + 1) * 128] = s2[...].T
+
+    tabs = [bank[nm] for nm in names1]
+    if not shared:
+        tabs += [bank[nm] for nm in names2]
+    n = n1 * n2
+    out = pl.pallas_call(
+        kern,
+        grid=(batch, nA + nB),
+        in_specs=[in_spec] + [_const_spec(t) for t in tabs],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, n1, 2 * n2), raw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * t1, 128), raw.dtype),
+            pltpu.VMEM((t1, n1), raw.dtype),
+            pltpu.VMEM((t1, n1), raw.dtype),
+            pltpu.VMEM((256, t2), raw.dtype),
+            pltpu.VMEM((n2, n1), raw.dtype),
+            pltpu.VMEM((n2, n1), raw.dtype),
+        ]
+        + pg._fold_scratches(plan1, t1, raw.dtype)
+        + pg._fold_scratches(plan2, t2, raw.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * batch * n
+            * ((sum(plan1.factors) or n1) + (sum(plan2.factors) or n2)),
+            bytes_accessed=2 * raw.shape[0] * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret_mode(),
+    )(x3, *tabs)
+    return out.reshape(raw.shape[0])

@@ -144,6 +144,33 @@ def _variants_for_entry(committed, entry) -> list[dict]:
         for ct in (1024, 512, 256, 128):
             if rests and all(r % ct == 0 for r in rests):
                 out.append({"cm": 1, "ct": ct})
+        if kind == "multidim" and len(d.lengths) >= 2:
+            # fused trailing-2D kernel (md2, default-on when supported):
+            # {"m2": 0} measures the per-axis pipeline against it, and the
+            # phase tiles get their own small space (mt2 <= 128: the
+            # phase-B interleave scratch bounds it)
+            from .ops import pallas_multidim
+
+            p_a = committed.plans.get(d.lengths[-2])
+            p_b = committed.plans.get(d.lengths[-1])
+            if (
+                p_a is not None
+                and p_b is not None
+                and pallas_multidim.md2_supported(
+                    p_a, p_b, committed.config, slack=2.0
+                )
+            ):
+                out.append({"m2": 0})
+                out.append({"m2": 0, "cm": 1})  # prior per-axis best
+                n1, n2 = d.lengths[-2], d.lengths[-1]
+                for mt1 in (64, 128, 256):
+                    if n2 % mt1:
+                        continue
+                    for mt2 in (64, 128):
+                        if n1 % mt2 == 0 and pallas_multidim.md2_est_bytes(
+                            p_a, p_b, mt1, mt2
+                        ) <= 2 * committed.config.vmem_bytes:
+                            out.append({"mt1": mt1, "mt2": mt2})
         return out
     if kind in ("realf", "realb"):
         # the REAL wrapper's cost is dominated by its half-length complex
@@ -250,6 +277,15 @@ def _variants_1d(committed, kind: str, n: int) -> list[dict]:
                         <= 2 * vmem
                     ):
                         out.append({"eng": 6, "t1": t1, "t2": t2})
+                        # factored-resident twiddle: drops the fused
+                        # engine's third HBM stream (the dense (g2, g1)
+                        # twiddle), the remaining gap to pure in+out
+                        from .ops.xla_fft import FTW_T1_CANDIDATES
+
+                        if t1 in FTW_T1_CANDIDATES:
+                            out.append(
+                                {"eng": 6, "t1": t1, "t2": t2, "ftw": 1}
+                            )
         if global_sq_supported(plan, committed.config):
             # single-pass square kernel (half the HBM traffic); the 2x
             # margin matches global_sq_supported — Mosaic adjudicates the

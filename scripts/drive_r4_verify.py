@@ -21,7 +21,6 @@ import portfft_tpu as pfft  # noqa: E402
 from portfft_tpu.enums import ComplexStorage  # noqa: E402
 from portfft_tpu.exceptions import (  # noqa: E402
     InvalidConfiguration,
-    UnsupportedConfiguration,
 )
 
 
@@ -120,6 +119,37 @@ def main():
             tuning.record(dev, "multidim", "n512x512", prev)
         else:
             tuning.forget(dev, "multidim", "n512x512")
+
+    # fused trailing-2D kernel (md2) at its riskiest VMEM shapes: 1024^2
+    # (8 MB persistent scratch planes + fused-plan phases) and the 3D
+    # trailing pair; a Mosaic rejection falls back per-entry, so also
+    # assert the md2 gate agreed before measuring
+    from portfft_tpu.ops import pallas_multidim as _md
+
+    for lengths, b in ([1024, 1024], 2), ([128, 128, 128], 4):
+        dm = pfft.Descriptor(
+            lengths=list(lengths), number_of_transforms=b
+        )
+        planm = dm.commit()
+        ntot = int(np.prod(lengths))
+        xm = (
+            rng.standard_normal(b * ntot)
+            + 1j * rng.standard_normal(b * ntot)
+        ).astype(np.complex64)
+        refm = np.fft.fftn(
+            xm.reshape(b, *lengths),
+            axes=tuple(range(1, 1 + len(lengths))),
+        ).reshape(-1)
+        gate = _md.md2_supported(
+            planm.plans[lengths[-2]], planm.plans[lengths[-1]],
+            planm.config,
+        )
+        ym = planm.compute_forward(xm)
+        tag = "x".join(map(str, lengths))
+        print(
+            f"md2 {tag} gate={gate} rel={rel(ym, refm):.2e}", flush=True
+        )
+        assert rel(ym, refm) < 5e-5
 
     # SPLIT_COMPLEX storage
     ds = pfft.Descriptor(lengths=[4096], number_of_transforms=32)

@@ -137,8 +137,12 @@ def tune_shape(n: int, batch: int, device: str) -> None:
                 print(f"  n={n} split {g1}x{g2}: FAIL {str(exc)[:90]}",
                       flush=True)
                 continue
+            won = tuning.lookup(
+                device, "global2", f"n{n}_g{g1}x{g2}"
+            )
             print(f"  n={n} split {g1}x{g2} [{p.describe()}]: "
-                  f"{t*1e3:8.3f} ms {gb/t:6.1f} GB/s", flush=True)
+                  f"{t*1e3:8.3f} ms {gb/t:6.1f} GB/s  won={won}",
+                  flush=True)
             if best is None or t < best[0]:
                 best = (t, g1, g2)
     finally:

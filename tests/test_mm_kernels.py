@@ -430,3 +430,36 @@ def test_kstackr_matmul_matches_kara():
     assert rel(sr * 2, ref.real) < 1e-5
     assert rel(si * 2, ref.imag) < 1e-5
     assert rel(sr * 2, np.asarray(kr)) < 2e-5
+
+
+def test_global_fused_engine_ftw_parity():
+    """eng 6 with the factored-resident twiddle ({"ftw": 1}): both the
+    DIRECT-G1 (Q tables) and FUSED-G1 (ZQ tables) paths match the dense
+    default — the variant the autotuner races to drop the fused engine's
+    third HBM stream."""
+    from portfft_tpu.enums import Level
+    from portfft_tpu.ops import pallas_global
+    from portfft_tpu.planner import Plan1D
+
+    cfg = DeviceConfig(vmem_bytes=64 * 2**20)
+    for n1, n2 in ((512, 128), (1024, 128)):
+        n = n1 * n2
+        sub1, sub2 = plan_1d(n1, cfg, 4), plan_1d(n2, cfg, 4)
+        plan = Plan1D(n=n, level=Level.GLOBAL, factors=[], sub=(sub1, sub2))
+        assert pallas_global.global_fused_supported(plan, cfg)
+        bank = xla_fft.TwiddleBank(np.float32)
+        keys = xla_fft.collect_bank_keys(plan, -1, bank)
+        arrs = bank.device_arrays()
+        rng = np.random.default_rng(41 + n1)
+        raw = rng.uniform(-1, 1, 2 * n).astype(np.float32)
+        kw = dict(t1_override=64, t2_override=128)
+        ref = np.fft.fft(raw.view(np.complex64).reshape(1, n))
+        for use_ftw in (False, True):
+            out = pallas_global.global_fused_raw_call(
+                jnp.asarray(raw), 1, plan, -1, keys, arrs, cfg,
+                use_ftw=use_ftw, **kw,
+            )
+            assert out is not None
+            gc = np.asarray(out).view(np.complex64).reshape(1, n)
+            rel = np.linalg.norm(gc - ref) / np.linalg.norm(ref)
+            assert rel < 1e-4, (n1, use_ftw, rel)

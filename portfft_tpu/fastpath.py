@@ -642,6 +642,11 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
         f6_ok = eng == 6 and pallas_global.global_fused_supported(
             plan0, committed.config
         )
+        from .ops import pallas_global_bf
+
+        bf_ok = eng == 7 and pallas_global_bf.global_bf_supported(
+            plan0, committed.config
+        )
         bt5 = overrides.get("bt", 0)
 
         def fn(raw, bank):
@@ -650,6 +655,11 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
                 res = pallas_global.global_sq_raw_call(
                     raw, batch, plan0, sign, keys, bank, committed.config,
                     committed.matmul_precision, scale, bt_override=bt5,
+                )
+            if bf_ok:
+                res = pallas_global_bf.global_bf_raw_call(
+                    raw, batch, plan0, sign, keys, bank, committed.config,
+                    committed.matmul_precision, scale, t1_override=t1,
                 )
             if f6_ok:
                 res = pallas_global.global_fused_raw_call(

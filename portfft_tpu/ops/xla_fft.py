@@ -481,6 +481,31 @@ class TwiddleBank:
             self.host[key] = None
         return key
 
+    def bf_twiddle_hi(self, a: int, g2: int, n: int, sign: int) -> str:
+        """Resident high-digit factor of the bf engine's inter-factor
+        twiddle: (A1, g2)[kA1, n2] = W_n^{kA1·n2}
+        (ops/pallas_global_bf.py — applied per output slab as a (1, t1)
+        row broadcast)."""
+        key = f"GA{'f' if sign < 0 else 'b'}{a}x{g2}N{n}"
+        if key not in self.host:
+            re, im = tw.twiddles_n(a, g2, n, sign, self.dtype)
+            self.host[key + "r"] = re
+            self.host[key + "i"] = im
+            self.host[key] = None
+        return key
+
+    def bf_twiddle_lo(self, g2: int, n_lo: int, sign: int) -> str:
+        """Streamed low-digit factor of the bf engine's inter-factor
+        twiddle: (128, g2)[kB1, n2] = W_{n/A1}^{kB1·n2} — A1× less HBM
+        stream than the dense (g2, g1) table."""
+        key = f"GB{'f' if sign < 0 else 'b'}128x{g2}N{n_lo}"
+        if key not in self.host:
+            re, im = tw.twiddles_n(128, g2, n_lo, sign, self.dtype)
+            self.host[key + "r"] = re
+            self.host[key + "i"] = im
+            self.host[key] = None
+        return key
+
     def mat_kara(self, base_key: str, scale: float = 1.0) -> str:
         """Presplit bf16 tables for the Karatsuba complex right-matmul
         against the bank pair ``base_key``(r/i): hi/lo of Wr, Wi and
@@ -710,6 +735,22 @@ def collect_bank_keys(
                             f1[0], g2.n, plan.n, t1c, sign
                         )
                     )
+        # butterfly-factored single-sweep engine ({"eng": 7}) tables:
+        # digit twiddles + the factored inter-factor twiddle + WK128
+        from .pallas_global_bf import bf_factor
+
+        a1b, a2b = bf_factor(g1.n), bf_factor(g2.n)
+        if a1b and a2b and bank.dtype == np.float32:
+            keys[("U", a1b, 128, sign)] = bank.twiddle_fm(a1b, 128, sign)
+            keys[("U", a2b, 128, sign)] = bank.twiddle_fm(a2b, 128, sign)
+            keys[("GA", g1.n, g2.n, sign)] = bank.bf_twiddle_hi(
+                a1b, g2.n, plan.n, sign
+            )
+            keys[("GB", g1.n, g2.n, sign)] = bank.bf_twiddle_lo(
+                g2.n, plan.n // a1b, sign
+            )
+            keys[("W", 128, sign)] = bank.dft(128, sign)
+            keys[("WK", 128, sign)] = bank.mat_kara(keys[("W", 128, sign)])
         collect_bank_keys(g1, sign, bank, keys)
         collect_bank_keys(g2, sign, bank, keys)
     elif plan.level == Level.BLUESTEIN:

@@ -286,6 +286,18 @@ def _variants_1d(committed, kind: str, n: int) -> list[dict]:
                             out.append(
                                 {"eng": 6, "t1": t1, "t2": t2, "ftw": 1}
                             )
+        from .ops import pallas_global_bf as gbf
+
+        if gbf.global_bf_supported(plan, committed.config):
+            # butterfly-factored single-sweep engine: flat ~256 cMAC/pt
+            # across the ladder (the eng-6 attribution probe measured the
+            # dense lane-DFT matmuls as the ladder's cost, not HBM)
+            for t1 in (128, 256):
+                if (
+                    g2p.n % t1 == 0
+                    and gbf.bf_est_bytes(plan, t1) <= 2 * vmem
+                ):
+                    out.append({"eng": 7, "t1": t1})
         if global_sq_supported(plan, committed.config):
             # single-pass square kernel (half the HBM traffic); the 2x
             # margin matches global_sq_supported — Mosaic adjudicates the

@@ -46,6 +46,34 @@ BATCHES = {
     1 << 20: 128,
 }
 
+# Phase 2 (--phase2): the eng-7 winners landed (logs/r4s_race.log) at
+# t1=256 everywhere; race the untried t1 tiles around each winner, plus
+# one retry of the (1024, 1024) split whose first compile attempt died
+# with an HTTP 500 from the compile helper (flake vs real VMEM reject).
+CASES2 = {
+    1 << 17: [
+        ((512, 256), {"eng": 7, "t1": 256}),
+        ((512, 256), {"eng": 7, "t1": 128}),
+    ],
+    1 << 18: [
+        ((512, 512), {"eng": 7, "t1": 256}),
+        ((512, 512), {"eng": 7, "t1": 128}),
+        ((512, 512), {"eng": 7, "t1": 512}),
+    ],
+    1 << 19: [
+        ((512, 1024), {"eng": 7, "t1": 256}),
+        ((512, 1024), {"eng": 7, "t1": 128}),
+        ((512, 1024), {"eng": 7, "t1": 512}),
+        ((512, 1024), {"eng": 7, "t1": 1024}),
+    ],
+    1 << 20: [
+        ((512, 2048), {"eng": 7, "t1": 256}),
+        ((512, 2048), {"eng": 7, "t1": 128}),
+        ((512, 2048), {"eng": 7, "t1": 512}),
+        ((1024, 1024), {"eng": 7, "t1": 256}),
+    ],
+}
+
 # n -> [((g1, g2), overrides)]; first entry = incumbent (current default)
 CASES = {
     65536: [
@@ -175,7 +203,11 @@ def main():
     dev = jax.devices()[0]
     device = pfft.resolve_device_config(dev).name
     print(f"racing on {dev.device_kind} ({device})", flush=True)
-    sizes = [int(a) for a in sys.argv[1:]] or list(CASES)
+    global CASES
+    argv = [a for a in sys.argv[1:] if a != "--phase2"]
+    if "--phase2" in sys.argv[1:]:
+        CASES = CASES2
+    sizes = [int(a) for a in argv] or list(CASES)
     for n in sizes:
         race(n, device)
     print("\ntuning cache:", tuning._USER_PATH, flush=True)

@@ -87,21 +87,26 @@ def factor_chain(n: int, max_factor: int) -> Optional[list[int]]:
 def bluestein_conv_n(n: int) -> int:
     """Smallest highly-composite convolution length ≥ 2n−1 for the chirp-z
     transform.  The classic choice is the next power of two, but 3·2^k and
-    5·2^k sizes also plan to efficient kernel shapes (e.g. 196608 = 384·512
-    two-pass) and can cut the convolution traffic by up to 37.5% — n=65537
-    needs 131073, where 2^18 = 262144 overshoots by 2× but 3·2^16 = 196608
-    fits.  (The reference has no Bluestein at all,
-    committed_descriptor_impl.hpp:240-241.)"""
+    9·2^k sizes also plan to efficient kernel shapes and cut convolution
+    traffic AND lane-DFT compute — n=65537 needs 131073, where 2^18 =
+    262144 overshoots by 2× and 3·2^16 = 196608 plans as 512×384 (896
+    cMAC/point), but 9·2^14 = 147456 plans as 384×384: 25% less traffic
+    and 14% fewer cMAC/point than 3·2^16.  (The reference has no Bluestein
+    at all, committed_descriptor_impl.hpp:240-241.)"""
     need = 2 * n - 1
     best = 1 << need.bit_length()
-    # 3·2^k only: its splits (3·2^j or [3·2^j, 128]-fused × a 2^i half with
-    # 128 | G2) keep every kernel engine available; 5·2^k can strand the
-    # planner on splits like 512×320 whose G2 breaks the 128-lane rule.
-    c = 3 << max(0, (need // 3).bit_length())
-    while c < need:
-        c *= 2
-    if c % 128 == 0 and c < best:
-        best = c
+    # Odd parts 3 and 9 only: their splits (3·2^j or 9·2^j halves with
+    # 128 | G2) keep every kernel engine available; odd part 5 can strand
+    # the planner on splits like 512×320 whose G2 breaks the 128-lane rule.
+    # 9·2^k is only taken in two-pass GLOBAL territory (> 32768), where its
+    # balanced splits (e.g. 384×384) were measured to win; below that the
+    # single-pass fused kernels prefer 2^k / 3·2^k stage shapes.
+    for odd in (3, 9):
+        c = odd << max(0, (need // odd).bit_length())
+        while c < need:
+            c *= 2
+        if c % 128 == 0 and c < best and (odd == 3 or c > 32768):
+            best = c
     return best
 
 

@@ -136,7 +136,7 @@ def test_non_compile_bug_reraises(monkeypatch):
 def test_workspace_len_accounts_for_bluestein():
     desc = Descriptor(lengths=[65537], number_of_transforms=1)
     plan = desc.commit()
-    # the padded convolution dominates (3·2^16 = 196608 ≥ 2n-1)
+    # the padded convolution dominates (9·2^14 = 147456 ≥ 2n-1)
     conv_n = plan.plans[65537].conv.n
     assert conv_n >= 2 * 65537 - 1
     assert plan._workspace_len() >= conv_n

@@ -178,7 +178,7 @@ def test_bluestein_fused_post_hooks():
     desc = pfft.Descriptor(lengths=[n], number_of_transforms=1)
     plan = desc.commit(use_pallas=True)
     assert ("BPOST", n, -1) in plan._bank_keys
-    assert plan.plans[n].conv.n == 196608  # 3*2^16: the 25%-smaller conv
+    assert plan.plans[n].conv.n == 147456  # 9*2^14: smallest composite conv
     rng = np.random.default_rng(8)
     x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
         np.complex64

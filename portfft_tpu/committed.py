@@ -1328,7 +1328,9 @@ class CommittedDescriptor:
         fall back to the plane executor.  Mirrors the per-entry rejection
         discipline of _compute_interleaved."""
         entry = self._raw_fast.get(direction)
-        if entry is None or entry[0] not in ("realf", "realb"):
+        if entry is None or entry[0] not in (
+            "realf", "realb", "realsf", "realsb"
+        ):
             return None
         from . import fastpath
 
@@ -1345,11 +1347,17 @@ class CommittedDescriptor:
         except Exception as exc:
             if not _is_kernel_rejection(exc):
                 raise
+            from . import tuning
             from .utils.logging import warn
 
+            demoted = tuning.mark_stale_if_tuned(self, entry[0], str(exc))
             warn(
                 f"REAL raw fast path disabled for {direction}: "
                 f"{str(exc)[:200]}"
+                + (
+                    "; stale tuned entry marked — re-run scripts/tune.py"
+                    if demoted else ""
+                )
             )
             self._compiled.pop(key, None)
             self._raw_fast.pop(direction, None)
@@ -1557,11 +1565,19 @@ class CommittedDescriptor:
                 except Exception as exc:
                     if not _is_kernel_rejection(exc):
                         raise
+                    from . import tuning
                     from .utils.logging import warn
 
+                    demoted = tuning.mark_stale_if_tuned(
+                        self, entry[0], str(exc)
+                    )
                     warn(
                         f"raw fast path disabled for {direction}: "
                         f"{str(exc)[:200]}"
+                        + (
+                            "; stale tuned entry marked — re-run "
+                            "scripts/tune.py" if demoted else ""
+                        )
                     )
                     self._compiled.pop(key, None)
                     self._raw_fast.pop(direction, None)

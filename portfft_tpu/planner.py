@@ -84,7 +84,7 @@ def factor_chain(n: int, max_factor: int) -> Optional[list[int]]:
     return chain
 
 
-def bluestein_conv_n(n: int) -> int:
+def bluestein_conv_n(n: int, single_pass_cap: int = 128 * 256) -> int:
     """Smallest highly-composite convolution length ≥ 2n−1 for the chirp-z
     transform.  The classic choice is the next power of two, but 3·2^k and
     9·2^k sizes also plan to efficient kernel shapes and cut convolution
@@ -98,14 +98,16 @@ def bluestein_conv_n(n: int) -> int:
     # Odd parts 3 and 9 only: their splits (3·2^j or 9·2^j halves with
     # 128 | G2) keep every kernel engine available; odd part 5 can strand
     # the planner on splits like 512×320 whose G2 breaks the 128-lane rule.
-    # 9·2^k is only taken in two-pass GLOBAL territory (> 32768), where its
-    # balanced splits (e.g. 384×384) were measured to win; below that the
-    # single-pass fused kernels prefer 2^k / 3·2^k stage shapes.
+    # 9·2^k is only taken in two-pass GLOBAL territory (beyond
+    # ``single_pass_cap``, default 2·max_factor·lane = 256·128 — the same
+    # bound the single-pass two-stage gate in :func:`plan_1d` enforces),
+    # where its balanced splits (e.g. 384×384) were measured to win; below
+    # that the single-pass fused kernels prefer 2^k / 3·2^k stage shapes.
     for odd in (3, 9):
         c = odd << max(0, (need // odd).bit_length())
         while c < need:
             c *= 2
-        if c % 128 == 0 and c < best and (odd == 3 or c > 32768):
+        if c % 128 == 0 and c < best and (odd == 3 or c > single_pass_cap):
             best = c
     return best
 
@@ -311,7 +313,11 @@ def plan_1d(n: int, cfg: DeviceConfig, itemsize: int) -> Plan1D:
                 n=n,
                 level=Level.BLUESTEIN,
                 factors=[],
-                conv=plan_1d(bluestein_conv_n(n), cfg, itemsize),
+                conv=plan_1d(
+                    bluestein_conv_n(n, 2 * cfg.max_factor * cfg.lane),
+                    cfg,
+                    itemsize,
+                ),
             )
         return Plan1D(
             n=n,

@@ -227,6 +227,16 @@ def main() -> None:
     dev = jax.devices()[0]
     device = pfft.resolve_device_config(dev).name
     print(f"tuning on {dev.device_kind} ({device})", flush=True)
+    # Stale marks (runtime compile failures of persisted winners,
+    # tuning.mark_stale): report + purge so the re-measure below replaces
+    # them with fresh, compile-verified winners.
+    for sdev, kern, key, params in tuning.stale_entries(device):
+        print(
+            f"  purging stale entry {kern}/{key}: "
+            f"{params.get('stale', '')[:80]}",
+            flush=True,
+        )
+        tuning.forget(sdev, kern, key)
     shapes = SHAPES
     md = MD_SHAPES
     real = REAL_SHAPES

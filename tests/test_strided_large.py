@@ -224,3 +224,67 @@ def test_irregular_scatter_indices_in_trace():
     )
     for v in jaxpr.consts:
         assert np.asarray(v).nbytes < (1 << 16)
+
+
+def test_strided_raw_fastpath_registers_and_computes():
+    """Regular strided rectangles with 128-multiple batch register the
+    Pallas destride wrapper entry (round-5 VERDICT #3) and compute
+    identically to the XLA regular-rectangle path."""
+    n, batch, stride = 512, 128, 2
+    desc = _strided_desc(n, batch, stride)
+    plan = desc.commit(use_pallas=True)
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    assert entry is not None and entry[0] == "strided1d", entry
+    assert entry[2] == (stride, (n - 1) * stride + 1 + 0) or entry[2][0] == stride
+    rng = np.random.default_rng(4)
+    count = desc.get_input_count(Direction.FORWARD)
+    buf = rng.uniform(-1, 1, 2 * count).astype(np.float32)
+    x = buf.view(np.complex64)
+    dist = desc.forward_distance
+    rows = np.stack(
+        [x[b * dist : b * dist + (n - 1) * stride + 1 : stride]
+         for b in range(batch)]
+    )
+    ref = np.fft.fft(rows)
+    got = np.asarray(plan.compute_forward(x)).view(np.complex64)
+    got = got.reshape(batch, n)
+    tol = 2 * np.finfo(np.float32).eps * n * np.log2(n)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < tol
+
+
+def test_strided_output_raw_fastpath():
+    """Strided OUTPUT layouts whose rectangle the restride kernel tiles
+    register the wrapper too; gaps come back zero (library-allocated
+    output buffer semantics)."""
+    n, batch, stride = 512, 128, 2
+    dist = stride * n  # restride needs s*ct | dist
+    desc = pfft.Descriptor(
+        lengths=[n],
+        number_of_transforms=batch,
+        forward_strides=[1],
+        forward_distance=n,
+        backward_strides=[stride],
+        backward_distance=dist,
+    )
+    plan = desc.commit(use_pallas=True)
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    assert entry is not None and entry[0] == "strided1d", entry
+    assert entry[3] == (stride, dist)
+    rng = np.random.default_rng(5)
+    x = (
+        rng.uniform(-1, 1, (batch, n)) + 1j * rng.uniform(-1, 1, (batch, n))
+    ).astype(np.complex64)
+    got = np.asarray(plan.compute_forward(x.reshape(-1))).view(np.complex64)
+    ref = np.fft.fft(x)
+    tol = 2 * np.finfo(np.float32).eps * n * np.log2(n)
+    out_count = desc.get_output_count(Direction.FORWARD)
+    assert got.shape[0] == out_count
+    for b in range(0, batch, 37):
+        sl = got[b * dist : b * dist + (n - 1) * stride + 1 : stride]
+        assert np.linalg.norm(sl - ref[b]) / np.linalg.norm(ref[b]) < tol
+    # gap positions are zero-filled
+    view = np.zeros(out_count, bool)
+    for b in range(batch):
+        view[b * dist : b * dist + (n - 1) * stride + 1 : stride] = True
+    gaps = got[~view]
+    assert gaps.size and np.all(gaps == 0)

@@ -44,6 +44,9 @@ from ..planner import Plan1D
 #: emit {"ftw": 1} variants at these t1 values (a miss would silently
 #: measure the dense path under the ftw label).
 FTW_T1_CANDIDATES = (64, 128, 256)
+# Lane-tile candidates for the bf2 engine's factored GB tables
+# (ops/pallas_global_bf.py global_bf2_raw_call).
+BF2_T1_CANDIDATES = (128, 256, 512)
 
 Array = jax.Array
 
@@ -209,6 +212,32 @@ class TwiddleBank:
                 self.host[key + suf + "i"] = np.ascontiguousarray(
                     m.imag
                 ).astype(self.dtype)
+            self.host[key] = None
+        return key
+
+    def blane_permuted(
+        self, base_key: str, row_f, col_f, suffixes=("r", "i")
+    ) -> str:
+        """Copy of a banked table with rows/cols reordered to the
+        butterfly lane-DFT's slab-digit-major order (pallas_bluestein.
+        lane_perm): position p holds frequency (p//128) + A·(p%128).
+        Used by the Bluestein bf mode, where the fwd stages' output
+        permutation is cancelled by the paired bwd stages and only the
+        in-between pointwise tables need re-layout."""
+        key = base_key + f"_bl{row_f or 0}x{col_f or 0}"
+        if key not in self.host:
+
+            def inv(f):
+                a = f // 128
+                return [(p // 128) + a * (p % 128) for p in range(f)]
+
+            for suf in suffixes:
+                m = np.asarray(self.host[base_key + suf])
+                if row_f:
+                    m = m[inv(row_f), :]
+                if col_f:
+                    m = m[:, inv(col_f)]
+                self.host[key + suf] = np.ascontiguousarray(m)
             self.host[key] = None
         return key
 
@@ -506,6 +535,143 @@ class TwiddleBank:
             self.host[key] = None
         return key
 
+    def real_small(self, n: int, g: int, sign: int, scale: float) -> str:
+        """Stacked bf16 table for the small-n REAL path: the ENTIRE R2C
+        (sign<0) or C2R (sign>0) transform of one row is a constant REAL
+        matrix over the row's raw floats (conjugation is real-linear), so
+        ``g`` transforms pack block-diagonally into one MXU matmul
+        (ops/pallas_real.small_real_raw_call — round-5 VERDICT weak #2:
+        N=32 ran the plane path at ~5% of ceiling).
+
+        forward: (3·g·n, g·(n+2)), column j of a block = float view of
+        np.fft.rfft(e_j)·scale.  backward: (3·g·(n+2), g·n), column j =
+        np.fft.irfft(float-basis_j)·n·scale (unnormalized inverse).
+        Rows stacked [Bh; Bh; Bl] for the runtime lane stack
+        [xh, xl, xh] (x3 precision)."""
+        key = f"RS{'f' if sign < 0 else 'b'}{n}g{g}_{scale!r}"
+        if key not in self.host:
+            if sign < 0:
+                b = np.zeros((n, n + 2), np.float64)
+                for j in range(n):
+                    e = np.zeros(n, np.float64)
+                    e[j] = 1.0
+                    spec = np.fft.rfft(e) * scale
+                    b[j] = spec.view(np.float64)
+            else:
+                b = np.zeros((n + 2, n), np.float64)
+                for j in range(n + 2):
+                    ef = np.zeros(n + 2, np.float64)
+                    ef[j] = 1.0
+                    c = ef.view(np.complex128)
+                    b[j] = np.fft.irfft(c, n) * n * scale
+            kk, nn = b.shape
+            bd = np.zeros((g * kk, g * nn), np.float64)
+            for q in range(g):
+                bd[q * kk : (q + 1) * kk, q * nn : (q + 1) * nn] = b
+            h, l = _presplit_hl(bd)
+            self.host[key + "k"] = np.concatenate([h, h, l], axis=0)
+            self.host[key] = None
+        return key
+
+    def ilv_dup_cross(self, base_key: str) -> str:
+        """Pair-trick tables for elementwise complex multiply on an
+        INTERLEAVED lane axis (the eng-8 interleaved-native engine,
+        ops/pallas_global_ilv.py): for y = t·x with x lanes (re, im)
+        pairs,  y = D⊙x + C⊙sps(x)  where sps is multiply-by-i (lane
+        pair-swap with the even-lane negation, pallas_global_ilv._sps)
+        and D / C are the pair-duplicated re / im of t.  Built from the
+        existing host pair ``base_key``(r/i); suffixes d/c."""
+        key = base_key + "_ilv"
+        if key not in self.host:
+            r = np.asarray(self.host[base_key + "r"], np.float64)
+            i = np.asarray(self.host[base_key + "i"], np.float64)
+            self.host[key + "d"] = np.repeat(r, 2, axis=-1).astype(self.dtype)
+            self.host[key + "c"] = np.repeat(i, 2, axis=-1).astype(self.dtype)
+            self.host[key] = None
+        return key
+
+    def twiddle_fm_t(self, f: int, m: int, sign: int) -> str:
+        """Transposed inter-factor twiddles (m, f) = [iB, kA] — the eng-8
+        phase-A digit twiddle applied as per-slab COLUMN broadcasts (iB is
+        the sublane axis there, no interleaving involved)."""
+        key = f"UT{'f' if sign < 0 else 'b'}{f}x{m}"
+        if key not in self.host:
+            re, im = tw.twiddles(f, m, sign, self.dtype)
+            self.host[key + "r"] = np.ascontiguousarray(re.T)
+            self.host[key + "i"] = np.ascontiguousarray(im.T)
+            self.host[key] = None
+        return key
+
+    def mat_il_left(self, sign: int) -> str:
+        """(256, 384) bf16 stacked table for the eng-8 phase-A slab DFT as
+        ONE left matmul on interleaved-column data: rows [Wr128; Wi128],
+        column blocks [hi, hi, lo] matching the runtime row stack
+        [zh; zl; zh] (x3 precision).  Output rows [A; B] recombine as
+        z = A + σ⊙ps(B)."""
+        key = f"ILL{'f' if sign < 0 else 'b'}"
+        if key not in self.host:
+            wr, wi = tw.dft_matrix(128, sign, np.float64)
+            wrh, wrl = _presplit_hl(wr)
+            wih, wil = _presplit_hl(wi)
+            top = np.concatenate([wrh, wrh, wrl], axis=1)
+            bot = np.concatenate([wih, wih, wil], axis=1)
+            self.host[key + "k"] = np.concatenate([top, bot], axis=0)
+            self.host[key] = None
+        return key
+
+    def mat_il_right(self, sign: int, scale: float = 1.0) -> str:
+        """(768, 256) bf16 stacked table for the eng-8 phase-B slab DFT as
+        ONE right matmul on interleaved-lane data: lane stack
+        [xh, xl, xh] (x3), rows interleaved (2m: xr_m, 2m+1: xi_m),
+        output columns [yr(128) | yi(128)] SEPARATED (so the store
+        epilogue interleaves with contiguous slices).  ``scale`` folds
+        into the table (it is the chain's last matmul)."""
+        key = f"ILR{'f' if sign < 0 else 'b'}_{scale!r}"
+        if key not in self.host:
+            wr, wi = tw.dft_matrix(128, sign, np.float64)
+            wr = wr * scale
+            wi = wi * scale
+            w2 = np.zeros((256, 256), np.float64)
+            w2[0::2, :128] = wr
+            w2[1::2, :128] = -wi
+            w2[0::2, 128:] = wi
+            w2[1::2, 128:] = wr
+            h, l = _presplit_hl(w2)
+            self.host[key + "k"] = np.concatenate([h, h, l], axis=0)
+            self.host[key] = None
+        return key
+
+    def bf_lo_factored(self, n_lo: int, t1: int, n_tiles: int, sign: int) -> str:
+        """Resident factored replacement for the bf engine's streamed GB
+        table (the bf2 path, ops/pallas_global_bf.py): with n2 = c + t1·s
+        the low-digit twiddle W_{n/A1}^{kB1·n2} splits into
+
+          B1[c, kB1] = W_{n_lo}^{c·kB1}        (t1, 128)   resident
+          B2[s, kB1] = W_{n_lo}^{s·t1·kB1}     (n_tiles, 128)  per-tile row
+
+        killing the 8n/A1 HBM bytes per batch row the streamed table cost.
+        Both orientations are stored (suffixes 1r/1i/2r/2i and the
+        transposed 1tr/1ti/2tr/2ti) so either store path can broadcast
+        without an in-kernel transpose."""
+        key = f"G2{'f' if sign < 0 else 'b'}L{n_lo}t{t1}"
+        if key not in self.host:
+            b1r, b1i = tw.twiddles_n(t1, 128, n_lo, sign, np.float64)
+            j = (np.arange(n_tiles, dtype=np.float64) * t1)[:, None]
+            k = np.arange(128, dtype=np.float64)[None, :]
+            theta = (2.0 * np.pi / n_lo) * np.mod(j * k, n_lo)
+            b2r = np.cos(theta)
+            b2i = float(sign) * np.sin(theta)
+            for suf, arr in (
+                ("1r", b1r), ("1i", b1i), ("2r", b2r), ("2i", b2i),
+                ("1tr", b1r.T), ("1ti", b1i.T),
+                ("2tr", b2r.T), ("2ti", b2i.T),
+            ):
+                self.host[key + suf] = np.ascontiguousarray(
+                    arr.astype(self.dtype)
+                )
+            self.host[key] = None
+        return key
+
     def mat_kara(self, base_key: str, scale: float = 1.0) -> str:
         """Presplit bf16 tables for the Karatsuba complex right-matmul
         against the bank pair ``base_key``(r/i): hi/lo of Wr, Wi and
@@ -751,6 +917,35 @@ def collect_bank_keys(
             )
             keys[("W", 128, sign)] = bank.dft(128, sign)
             keys[("WK", 128, sign)] = bank.mat_kara(keys[("W", 128, sign)])
+            # bf2: resident factored GB per candidate lane tile (~100 KB
+            # each; replaces the streamed (128, g2) table's HBM traffic)
+            for t1c in BF2_T1_CANDIDATES:
+                if g2.n % t1c == 0 and g2.n // t1c >= 1:
+                    keys[("G2L", g2.n, t1c, sign)] = bank.bf_lo_factored(
+                        plan.n // a1b, t1c, g2.n // t1c, sign
+                    )
+        # eng-8 interleaved-native engine (ops/pallas_global_ilv.py):
+        # stacked DFT matmul tables + pair-trick twiddle tables.  Gated on
+        # the WIDER mixed-radix factor (2^a·3^b ≤ 16), so 3·2^k / 9·2^k
+        # splits like 384x384 qualify even though eng-7's bf does not.
+        from .pallas_global_ilv import ilv_factor
+
+        a1i, a2i = ilv_factor(g1.n), ilv_factor(g2.n)
+        if a1i and a2i and bank.dtype == np.float32:
+            keys[("ILL", sign)] = bank.mat_il_left(sign)
+            keys[("ILR", sign)] = bank.mat_il_right(sign)
+            keys[("UT", a1i, 128, sign)] = bank.twiddle_fm_t(
+                a1i, 128, sign
+            )
+            keys[("UI", a2i, 128, sign)] = bank.ilv_dup_cross(
+                bank.twiddle_fm(a2i, 128, sign)
+            )
+            keys[("GAI", g1.n, g2.n, sign)] = bank.ilv_dup_cross(
+                bank.bf_twiddle_hi(a1i, g2.n, plan.n, sign)
+            )
+            keys[("GBI", g1.n, g2.n, sign)] = bank.ilv_dup_cross(
+                bank.bf_twiddle_lo(g2.n, plan.n // a1i, sign)
+            )
         collect_bank_keys(g1, sign, bank, keys)
         collect_bank_keys(g2, sign, bank, keys)
     elif plan.level == Level.BLUESTEIN:
@@ -777,6 +972,36 @@ def collect_bank_keys(
                 keys[("T", g2c.n, g1c.n, +1)] = bank.twiddle(
                     g2c.n, g1c.n, +1
                 )
+                # butterfly (bf) mode of the fused engine: factored lane
+                # DFTs with the fwd/bwd digit permutations cancelling
+                # inside the convolution; the three in-between tables are
+                # stored permuted (blane_permuted)
+                from .pallas_global_ilv import ilv_factor
+
+                a1c, a2c = ilv_factor(g1c.n), ilv_factor(g2c.n)
+                if a1c and a2c:
+                    twf = bank.twiddle(g1c.n, g2c.n, -1)
+                    keys[("T", g1c.n, g2c.n, -1)] = twf
+                    keys[("BLT", plan.n, sign)] = bank.blane_permuted(
+                        twf, None, g1c.n
+                    )
+                    keys[("BLP", plan.n, sign)] = bank.blane_permuted(
+                        keys[("BPOST", plan.n, sign)], g1c.n, g2c.n,
+                        suffixes=("fr", "fi"),
+                    )
+                    keys[("BLB", plan.n, sign)] = bank.blane_permuted(
+                        keys[("T", g2c.n, g1c.n, +1)], g1c.n, None
+                    )
+                    for s2 in (-1, +1):
+                        keys[("U", a1c, 128, s2)] = bank.twiddle_fm(
+                            a1c, 128, s2
+                        )
+                        keys[("U", a2c, 128, s2)] = bank.twiddle_fm(
+                            a2c, 128, s2
+                        )
+                        wkey = bank.dft(128, s2)
+                        keys[("W", 128, s2)] = wkey
+                        keys[("WK", 128, s2)] = bank.mat_kara(wkey)
         collect_bank_keys(plan.conv, -1, bank, keys)
         collect_bank_keys(plan.conv, +1, bank, keys)
     return keys

@@ -97,3 +97,72 @@ def test_unsupported_shapes_decline():
     y = plan.compute_forward(x)  # plane path still correct
     ref = np.fft.rfft(x.reshape(8, 1040), axis=1).reshape(-1)
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Small-n single-matmul REAL path (realsf/realsb, round-5 VERDICT weak #2)
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("n,b", [(32, 1024), (64, 512), (256, 128), (512, 64)])
+def test_small_real_matmul_path(n, b):
+    """Small even n registers the constant-matmul entries and matches
+    np.fft.rfft / unnormalized irfft."""
+    import portfft_tpu as pfft
+    from portfft_tpu import Domain
+    from portfft_tpu.enums import Direction
+
+    desc = pfft.Descriptor(
+        lengths=[n], number_of_transforms=b, domain=Domain.REAL
+    )
+    plan = desc.commit(use_pallas=True)
+    ef = plan._raw_fast.get(Direction.FORWARD)
+    eb = plan._raw_fast.get(Direction.BACKWARD)
+    assert ef is not None and ef[0] == "realsf", ef
+    assert eb is not None and eb[0] == "realsb", eb
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (b, n)).astype(np.float32)
+    y = np.asarray(plan.compute_forward(x.reshape(-1)))
+    ref = np.fft.rfft(x, axis=-1)
+    got = y.reshape(b, n // 2 + 1)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+    spec = ref.astype(np.complex64)
+    back = np.asarray(plan.compute_backward(spec.reshape(-1)))
+    relb = np.linalg.norm(back.reshape(b, n) / n - x) / np.linalg.norm(x)
+    assert relb < 1e-4, relb
+
+
+def test_small_real_scale_and_fallback():
+    """Scales fold into the table; batches that don't group fall back to
+    the plane path with identical results."""
+    import portfft_tpu as pfft
+    from portfft_tpu import Domain
+    from portfft_tpu.enums import Direction
+
+    n = 32
+    desc = pfft.Descriptor(
+        lengths=[n], number_of_transforms=256, domain=Domain.REAL,
+        forward_scale=0.25,
+    )
+    plan = desc.commit(use_pallas=True)
+    assert plan._raw_fast[Direction.FORWARD][0] == "realsf"
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, (256, n)).astype(np.float32)
+    y = np.asarray(plan.compute_forward(x.reshape(-1)))
+    ref = 0.25 * np.fft.rfft(x, axis=-1)
+    rel = np.linalg.norm(y.reshape(256, -1) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+    # batch 3 cannot group (g=4): no entry, plane path still correct
+    desc2 = pfft.Descriptor(
+        lengths=[n], number_of_transforms=3, domain=Domain.REAL
+    )
+    plan2 = desc2.commit(use_pallas=True)
+    assert plan2._raw_fast.get(Direction.FORWARD) is None
+    x2 = rng.uniform(-1, 1, (3, n)).astype(np.float32)
+    y2 = np.asarray(plan2.compute_forward(x2.reshape(-1)))
+    ref2 = np.fft.rfft(x2, axis=-1)
+    rel2 = np.linalg.norm(y2.reshape(3, -1) - ref2) / np.linalg.norm(ref2)
+    assert rel2 < 1e-4, rel2

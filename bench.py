@@ -77,10 +77,15 @@ MULTIDIM_CONFIGS = [  # BASELINE.json config row 5
     ("md_1024x1024", [1024, 1024], 64),
     ("md_128^3", [128, 128, 128], 32),
 ]
-REAL_CONFIGS = [  # real-domain set (reference: planned)
+REAL_CONFIGS = [  # real-domain set (reference planned N set:
+    # {32, 512, 8192, 131072}, reference_dft_set.hpp:104-113)
     ("real_small", 32, 2 * 1024 * 1024),
     ("real_medium", 512, 256 * 1024),
     ("real_large", 8192, 16 * 1024),
+    ("real_131072", 131072, 1024),
+]
+DF64_CONFIGS = [  # emulated-fp64 cost record (round-5 VERDICT missing #3)
+    ("df64_4096", 4096, 512),
 ]
 RUNS_TO_AVERAGE = 10
 SAMPLES = 5
@@ -117,43 +122,54 @@ def make_ceiling_probe():
     # 8 HBM passes per jitted call: a single 1.4 ms elementwise pass is
     # dominated by per-call dispatch latency on tunneled runtimes (the
     # one-pass probe read 77 GB/s while FFT kernels sustained 280 in the
-    # same minute); a fori_loop carry cannot fuse across iterations, so
-    # each call moves 8×(read+write) and amortizes the dispatch.
+    # same minute).  Each pass is a PALLAS copy: Pallas calls are opaque
+    # to XLA fusion, so the loop cannot collapse into fewer memory
+    # passes — an unrolled XLA elementwise chain DOES fuse (measured
+    # 1064 "GB/s" from a +1 fori_loop, scripts/probe_dma.py round 5),
+    # which silently inflated the probe.
     passes = 8
 
-    @jax.jit
-    def stream(v):
-        return jax.lax.fori_loop(0, passes, lambda i, a: a + 1.0, v)
-
-    candidates = [stream]
+    candidates = []
     if jax.default_backend() == "tpu":
-        # Pallas flat copy — the engines' DMA pattern.  XLA elementwise
-        # and Pallas copies usually converge, but slow windows have been
-        # observed to hit one and not the other; take the best of both.
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         rows = x.size // 128
-        spec = pl.BlockSpec(
-            (8192, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-        )
 
-        def copy_once(v):
-            return pl.pallas_call(
-                lambda x_ref, o_ref: o_ref.__setitem__(..., x_ref[...]),
-                grid=(rows // 8192,),
-                in_specs=[spec],
-                out_specs=spec,
-                out_shape=jax.ShapeDtypeStruct((rows, 128), v.dtype),
-            )(v)
-
-        @jax.jit
-        def pallas_copy(v):
-            return jax.lax.fori_loop(
-                0, passes, lambda i, a: copy_once(a), v.reshape(rows, 128)
+        def make_copy(bt):
+            spec = pl.BlockSpec(
+                (bt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
             )
 
-        candidates.append(pallas_copy)
+            def copy_once(v):
+                return pl.pallas_call(
+                    lambda x_ref, o_ref: o_ref.__setitem__(
+                        ..., x_ref[...]
+                    ),
+                    grid=(rows // bt,),
+                    in_specs=[spec],
+                    out_specs=spec,
+                    out_shape=jax.ShapeDtypeStruct((rows, 128), v.dtype),
+                )(v)
+
+            @jax.jit
+            def pallas_copy(v):
+                return jax.lax.fori_loop(
+                    0, passes, lambda i, a: copy_once(a),
+                    v.reshape(rows, 128),
+                )
+
+            return pallas_copy
+
+        # two block sizes: the faster of the two has varied by window
+        candidates += [make_copy(8192), make_copy(4096)]
+    else:
+
+        @jax.jit
+        def stream(v):
+            return jax.lax.fori_loop(0, passes, lambda i, a: a + 1.0, v)
+
+        candidates.append(stream)
 
     warmed = []
     for fn in candidates:
@@ -544,9 +560,50 @@ def bench_extra(cfg):
             ),
         }
 
+    def prep_df64(name, n, batch):
+        import jax
+
+        desc = pfft.Descriptor(
+            lengths=[n], number_of_transforms=batch, precision="float64"
+        )
+        plan = desc.commit(emulate_fp64=True)
+        xr = rng.standard_normal((batch, n))
+        xi = rng.standard_normal((batch, n))
+        rh = xr.astype(np.float32)
+        rl = (xr - rh.astype(np.float64)).astype(np.float32)
+        ih = xi.astype(np.float32)
+        il = (xi - ih.astype(np.float64)).astype(np.float32)
+        planes = tuple(jnp.asarray(p) for p in (rh, rl, ih, il))
+
+        @jax.jit
+        def f(a, b, c, d):
+            (orh, orl), (oih, oil) = plan.apply((a, b), (c, d))
+            # one plane that depends on all four outputs (bench _sync
+            # reads a single array; a bare tuple would break it and a
+            # partial output would let XLA dead-code the rest)
+            return (orh + orl) + (oih + oil)
+
+        compute = lambda tup: f(*tup)  # noqa: E731
+        y = compute(planes)
+        # accuracy record: df64 must actually be double-accurate
+        ref = np.fft.fft(
+            (xr[:2] + 1j * xi[:2]).astype(np.complex128), axis=1
+        )
+        got = np.asarray(y[:2]).astype(np.float64)
+        rel = np.linalg.norm(
+            got - (ref.real + ref.imag)
+        ) / np.linalg.norm(ref.real + ref.imag)
+        return {
+            "name": name, "label": f"N={n}", "compute": compute,
+            "inputs": [planes], "y": y, "times": [],
+            "flops": 5 * batch * n * math.log2(n),
+            "tail": lambda t, r=rel: f" rel_err={r:.1e} (df64)",
+        }
+
     run_set(prep_extra, EXTRA_CONFIGS)
     run_set(prep_real, REAL_CONFIGS)
     run_set(prep_md, MULTIDIM_CONFIGS)
+    run_set(prep_df64, DF64_CONFIGS)
     return recorded
 
 
@@ -649,11 +706,14 @@ def main():
     if basis == "device":
         out["wall_value"] = round(wall_gflops, 2)
         out["wall_vs_baseline"] = round(wall_eff / 0.80, 4)
-    # efficiency denominator: the session ceiling is the max over probe
-    # samples AND every observed config rate — kernels have outrun the
-    # probe by 1.8x in slow windows, and a quality ratio over a lost race
-    # reads >100% (BENCH_r03's 129.1%); with the running max it is <= 100
-    # by construction.
+    # efficiency denominator: the session ceiling comes from the PURE
+    # DATA-MOVEMENT probe only (round-5 VERDICT weak #5: folding the
+    # best kernel into the denominator made small_1d 100% of ceiling by
+    # definition).  The probe re-samples before every config and the
+    # running max rides the chip's fast windows; if a kernel still
+    # outruns every probe sample (drift between its window and the
+    # probe's), that is recorded explicitly instead of silently raising
+    # the bar.
     best_seen = max(
         (
             max(r["gbps"], r["dev_gbps"] or 0.0)
@@ -661,12 +721,13 @@ def main():
         ),
         default=0.0,
     )
-    ceiling = max(ceiling, best_seen)
     if ceiling:
         out["session_ceiling_gbps"] = round(ceiling, 1)
         out["pct_of_session_ceiling"] = round(
             100 * geo_eff * cfg.hbm_gbps / ceiling, 1
         )
+        if best_seen > ceiling:
+            out["kernel_exceeds_ceiling_gbps"] = round(best_seen, 1)
     sets = {}
     for name, r in {**results, **ladder_results}.items():
         sets[name] = {

@@ -63,6 +63,39 @@ def batch_parallel(committed, mesh: Mesh, axis: str = "dp", direction=None):
     return fn
 
 
+def batch_parallel_real(committed, mesh: Mesh, axis: str, direction=None):
+    """Batch-sharded REAL-domain transform (embarrassingly parallel over
+    batch, like :func:`batch_parallel`): FORWARD maps a real
+    ``(batch, *lengths)`` plane to half-spectrum planes
+    ``(batch, ..., n//2+1)``; BACKWARD maps half-spectrum planes back to
+    the real plane.  Extension beyond the reference (REAL throws there,
+    committed_descriptor.hpp:134-137)."""
+    from ..enums import Direction
+
+    direction = direction or Direction.FORWARD
+    ndim = len(committed.descriptor.lengths)
+    spec = P(axis, *([None] * ndim))
+    shard = NamedSharding(mesh, spec)
+    bank = committed._bank_arrays
+
+    if direction == Direction.FORWARD:
+
+        @partial(jax.jit, out_shardings=(shard, shard))
+        def fn(x, _=None):
+            x = jax.lax.with_sharding_constraint(x, shard)
+            return committed._core_real_forward(x, bank)
+
+    else:
+
+        @partial(jax.jit, out_shardings=shard)
+        def fn(xr, xi):
+            xr = jax.lax.with_sharding_constraint(xr, shard)
+            xi = jax.lax.with_sharding_constraint(xi, shard)
+            return committed._core_real_backward(xr, xi, bank)
+
+    return fn
+
+
 def _balanced_split(n: int, p: int) -> tuple[int, int]:
     """n = G1·G2 with p | G1, p | G2, G1/G2 as balanced as possible."""
     best = None
@@ -302,17 +335,23 @@ class DistributedCommitted:
 
         d = descriptor
         if (
-            len(d.lengths) != 1
-            or d.domain != Domain.COMPLEX
-            or get_layout(d, Direction.FORWARD) != Layout.PACKED
+            get_layout(d, Direction.FORWARD) != Layout.PACKED
             or get_layout(d, Direction.BACKWARD) != Layout.PACKED
             or d.get_offset(Direction.FORWARD)
             or d.get_offset(Direction.BACKWARD)
         ):
             raise UnsupportedConfiguration(
-                "commit(mesh=...) supports 1D COMPLEX descriptors with "
-                "default PACKED layouts and zero offsets"
+                "commit(mesh=...) supports descriptors with default "
+                "PACKED layouts and zero offsets"
             )
+        if seq_axis is not None and (
+            len(d.lengths) != 1 or d.domain != Domain.COMPLEX
+        ):
+            raise UnsupportedConfiguration(
+                "sequence sharding (seq_axis=...) supports 1D COMPLEX "
+                "descriptors; REAL and multi-dim plans shard over batch"
+            )
+        self._real = d.domain == Domain.REAL
         if batch_axis is not None and batch_axis not in mesh.shape:
             raise UnsupportedConfiguration(
                 f"mesh has no axis {batch_axis!r}"
@@ -354,20 +393,25 @@ class DistributedCommitted:
         self._fns: dict = {}
 
     def input_sharding(self) -> NamedSharding:
-        """Sharding of the canonical (batch, n) input planes."""
+        """Sharding of the canonical (batch, *lengths) input planes."""
         if self._dfft is not None:
             return self._dfft.input_sharding()
-        return NamedSharding(self.mesh, P(self.batch_axis, None))
+        ndim = len(self.descriptor.lengths)
+        return NamedSharding(
+            self.mesh, P(self.batch_axis, *([None] * ndim))
+        )
 
     def _fn(self, direction):
         if direction not in self._fns:
-            self._fns[direction] = batch_parallel(
+            builder = batch_parallel_real if self._real else batch_parallel
+            self._fns[direction] = builder(
                 self.committed, self.mesh, self.batch_axis, direction
             )
         return self._fns[direction]
 
-    def compute_forward(self, xr, xi):
-        """Forward transform of sharded (batch, n) float planes."""
+    def compute_forward(self, xr, xi=None):
+        """Forward transform of sharded canonical (batch, *lengths)
+        float planes (REAL plans take the single real plane)."""
         if self._dfft is not None:
             yr, yi = self._dfft.forward(xr, xi)
             return self._scaled(yr, yi, +0)
@@ -375,7 +419,7 @@ class DistributedCommitted:
 
         return self._fn(Direction.FORWARD)(xr, xi)
 
-    def compute_backward(self, xr, xi):
+    def compute_backward(self, xr, xi=None):
         if self._dfft is not None:
             yr, yi = self._dfft.backward(xr, xi)
             return self._scaled(yr, yi, +1)

@@ -183,6 +183,239 @@ def global_bf_supported(plan: Plan1D, config) -> bool:
     return bf_est_bytes(plan, 128) <= 2 * config.vmem_bytes
 
 
+def bf2_est_bytes(plan: Plan1D, t1: int) -> int:
+    """VMEM working-set estimate for the bf2 variant: persistent scratch +
+    double-buffered io blocks + phase-A SSA temporaries (one big transpose,
+    butterfly slabs, Karatsuba splits) + resident tables."""
+    g1, g2 = plan.sub[0].n, plan.sub[1].n
+    a1 = max(1, g1 // 128)
+    n = g1 * g2
+    p2 = 8 * n
+    io = 2 * (g1 * 2 * t1 * 4) + 2 * (128 * 2 * g1 * 4)
+    ph_a = 18 * t1 * g1 * 4
+    ph_b = 12 * g1 * 128 * 4 + 8 * 128 * a1 * 128 * 4
+    tabs = 12 * 128 * 128 + 8 * (a1 + max(1, g2 // 128)) * 128 + 400_000
+    return p2 + io + ph_a + ph_b + tabs
+
+
+def global_bf2_raw_call(
+    raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
+    precision=None, scale: float = 1.0, t1_override: int = 0,
+    st3: int = 1, ta: int = 0,
+):
+    """bf engine, relayout-lean variant (autotuner ``{"eng": 7, "bf2": 1}``).
+
+    Same math and scratch layout as :func:`global_bf_raw_call`; the
+    differences are pure data-movement restructurings measured against the
+    round-4 engine (see docs/ROUND5.md):
+
+    * phase A transposes the WHOLE (g1, 2t1) input block once and takes the
+      butterfly slabs as free 128-lane-block views, instead of A1 separate
+      (128, 2t1) transposes through a scratch ref;
+    * the streamed (128, g2) GB twiddle table is replaced by the resident
+      factored B1/B2 pair (TwiddleBank.bf_lo_factored) — the engine's HBM
+      traffic drops from (2 + 2/A1)·8n to 2·8n bytes per transform;
+    * with ``st3`` (default), the store side runs ONE (A1·t1, 128) →
+      (128, A1, t1) transpose and ONE contiguous scratch store per tile,
+      instead of A1 separate (t1, 128) transposes + middle-axis stores;
+    * phase B flattens the (128, A1, 128) scratch slab to (g1, 128) BEFORE
+      the Karatsuba matmul so the MXU sees one M = g1 contraction rather
+      than a batched M = A1 form.
+
+    Reference counterpart (as for bf): the global factor chain,
+    /root/reference/src/portfft/dispatcher/global_dispatcher.hpp:312-412.
+    """
+    prec = _kernel_precision(precision)
+    if prec != "x3":
+        return None
+    g1p, g2p = plan.sub
+    g1, g2 = g1p.n, g2p.n
+    n = plan.n
+    a1, a2 = bf_factor(g1), bf_factor(g2)
+    if not a1 or not a2:
+        return None
+    wk = bank_keys.get(("WK", 128, sign))
+    u1 = bank_keys.get(("U", a1, 128, sign))
+    u2 = bank_keys.get(("U", a2, 128, sign))
+    ga = bank_keys.get(("GA", g1, g2, sign))
+    if None in (wk, u1, u2, ga):
+        return None
+
+    if t1_override and (g2 % t1_override or t1_override % 128):
+        t1_override = 0
+    t1 = 0
+    for cand in ((t1_override,) if t1_override else (256, 128)):
+        if (
+            cand
+            and g2 % cand == 0
+            and bank_keys.get(("G2L", g2, cand, sign)) is not None
+            and bf2_est_bytes(plan, cand) <= 2 * config.vmem_bytes
+        ):
+            t1 = cand
+            break
+    if not t1:
+        return None
+    lo = bank_keys[("G2L", g2, t1, sign)]
+    nA = g2 // t1
+    nbits = a2.bit_length() - 1
+
+    x3 = raw.reshape(batch, g1, 2 * g2)
+    in_spec = pl.BlockSpec(
+        (1, g1, 2 * t1),
+        lambda bi, s: (bi, 0, jnp.minimum(s, nA - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    ga_spec = pl.BlockSpec(
+        (a1, t1),
+        lambda bi, s: (0, jnp.minimum(s, nA - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    # factored-GB tables: B1 resident whole (orientation per store path);
+    # B2 resident whole (nA, 128) with the per-tile row sliced in-kernel —
+    # a (1, 128) BlockSpec would break the TPU sublane block rule
+    b2_arrays = [bank[lo + "2r"], bank[lo + "2i"]]
+    if st3:
+        b1_arrays = [bank[lo + "1r"], bank[lo + "1i"]]
+    else:
+        b1_arrays = [bank[lo + "1tr"], bank[lo + "1ti"]]
+    out_spec = pl.BlockSpec(
+        (1, 128, 2 * g1),
+        lambda bi, s: (bi, 0, _bitrev(jnp.maximum(s - nA, 0), nbits)),
+        memory_space=pltpu.VMEM,
+    )
+
+    consts = (
+        [bank[wk + str(j)] for j in range(1, 7)]
+        + [bank[u1 + "r"], bank[u1 + "i"], bank[u2 + "r"], bank[u2 + "i"]]
+        + b1_arrays
+        + b2_arrays
+    )
+
+    def kern(x_ref, *rest):
+        wkt = rest[:6]
+        u1r, u1i, u2r, u2i = rest[6:10]
+        b1r, b1i, b2r_t, b2i_t = rest[10:14]
+        gar, gai = rest[14:16]
+        o_ref = rest[16]
+        s3, p2r, p2i, s2 = rest[17:21]
+        s = pl.program_id(1)
+        ti = jnp.minimum(s, nA - 1)
+        col = pl.multiple_of(ti * t1, t1)
+        b2r = b2r_t[pl.ds(ti, 1), :]  # (1, 128) tile row of B2
+        b2i = b2i_t[pl.ds(ti, 1), :]
+
+        @pl.when(s < nA)
+        def _phase_a():
+            # deinterleave scratch is 3-D (2t1, A1, 128): Mosaic only
+            # strided-reads memrefs whose minor dim is exactly 128, so the
+            # lane axis g1 is pre-split into (A1, 128).  ``ta`` fills it
+            # with ONE whole-block transpose + lane-split value reshape;
+            # default is A1 narrow (128, 2t1) transposes (the proven form).
+            if ta:
+                s3[...] = x_ref[0, :, :].T.reshape(2 * t1, a1, 128)
+            else:
+                for j in range(a1):
+                    s3[:, j, :] = x_ref[0, j * 128 : (j + 1) * 128, :].T
+            slabs = [
+                (s3[0::2, j, :], s3[1::2, j, :]) for j in range(a1)
+            ]
+            y = _bf_slabs(slabs, sign)
+            tw = [
+                xla_fft.complex_mul(
+                    yr, yi, u1r[k : k + 1, :], u1i[k : k + 1, :]
+                )
+                for k, (yr, yi) in enumerate(y)
+            ]
+            zr, zi = kara_matmul_last(
+                jnp.concatenate([t[0] for t in tw], axis=0),
+                jnp.concatenate([t[1] for t in tw], axis=0),
+                wkt,
+            )  # (A1·t1, 128) rows [kA1-block, n2-slice], lanes kB1
+            if st3:
+                # factored-GB tile twiddle, (1, t1, 128) broadcast
+                gwr, gwi = xla_fft.complex_mul(
+                    b1r[...], b1i[...], b2r, b2i
+                )
+                z3r = zr.reshape(a1, t1, 128)
+                z3i = zi.reshape(a1, t1, 128)
+                z3r, z3i = xla_fft.complex_mul(
+                    z3r, z3i, gwr[None, :, :], gwi[None, :, :]
+                )
+                z3r, z3i = xla_fft.complex_mul(
+                    z3r, z3i,
+                    gar[...].reshape(a1, t1, 1),
+                    gai[...].reshape(a1, t1, 1),
+                )
+                p2r[:, :, pl.ds(col, t1)] = jnp.transpose(z3r, (2, 0, 1))
+                p2i[:, :, pl.ds(col, t1)] = jnp.transpose(z3i, (2, 0, 1))
+            else:
+                gwr, gwi = xla_fft.complex_mul(
+                    b1r[...], b1i[...], b2r.T, b2i.T
+                )  # (128, t1)
+                for k in range(a1):
+                    zs_r = zr[k * t1 : (k + 1) * t1].T  # (128, t1)
+                    zs_i = zi[k * t1 : (k + 1) * t1].T
+                    zs_r, zs_i = xla_fft.complex_mul(zs_r, zs_i, gwr, gwi)
+                    zs_r, zs_i = xla_fft.complex_mul(
+                        zs_r, zs_i, gar[k : k + 1, :], gai[k : k + 1, :]
+                    )
+                    p2r[:, k, pl.ds(col, t1)] = zs_r
+                    p2i[:, k, pl.ds(col, t1)] = zs_i
+            _pf.dump("global_bf2.p1", zr)
+
+        @pl.when(s == nA)
+        def _slab_dft():
+            _dif_slab_layers(p2r, p2i, a2, sign)
+
+        @pl.when(s >= nA)
+        def _phase_b():
+            j2 = jnp.maximum(s - nA, 0)
+            ka2 = _bitrev(j2, nbits)
+            # flatten the slab to (g1, 128) rows k1 = A1·kB1 + kA1 BEFORE
+            # the matmul — one M = g1 contraction instead of batched M = A1
+            br = p2r[:, :, pl.ds(j2 * 128, 128)].reshape(g1, 128)
+            bi_ = p2i[:, :, pl.ds(j2 * 128, 128)].reshape(g1, 128)
+            t2r = u2r[pl.ds(ka2, 1), :]  # (1, 128) digit twiddle row
+            t2i = u2i[pl.ds(ka2, 1), :]
+            br, bi_ = xla_fft.complex_mul(br, bi_, t2r, t2i)
+            cr, ci = kara_matmul_last(br, bi_, wkt)  # (g1, 128) lanes kB2
+            if scale != 1.0:
+                cr = cr * scale
+                ci = ci * scale
+            s2[0::2, :] = cr
+            s2[1::2, :] = ci
+            o_ref[0, :, :] = s2[...].T
+            _pf.dump("global_bf2.p2", cr)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(batch, nA + a2),
+        in_specs=[in_spec]
+        + [
+            pl.BlockSpec(
+                t.shape, (lambda *_: (0,) * t.ndim), memory_space=pltpu.VMEM
+            )
+            for t in consts
+        ]
+        + [ga_spec, ga_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, 128, a2 * 2 * g1), raw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * t1, a1, 128), raw.dtype),
+            pltpu.VMEM((128, a1, g2), raw.dtype),
+            pltpu.VMEM((128, a1, g2), raw.dtype),
+            pltpu.VMEM((2 * g1, 128), raw.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * batch * n * 256,
+            bytes_accessed=2 * raw.shape[0] * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x3, *consts, bank[ga + "r"], bank[ga + "i"])
+    return out.reshape(raw.shape[0])
+
+
 def global_bf_raw_call(
     raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
     precision=None, scale: float = 1.0, t1_override: int = 0,

@@ -24,7 +24,7 @@ def _mk_plan(g1: int, g2: int, cfg: DeviceConfig) -> Plan1D:
     )
 
 
-def _run(g1, g2, sign, batch=2, scale=1.0, t1=0, seed=7):
+def _run(g1, g2, sign, batch=2, scale=1.0, t1=0, seed=7, bf2=None):
     cfg = DeviceConfig(vmem_bytes=256 * 2**20)
     plan = _mk_plan(g1, g2, cfg)
     assert pallas_global_bf.global_bf_supported(plan, cfg)
@@ -34,10 +34,16 @@ def _run(g1, g2, sign, batch=2, scale=1.0, t1=0, seed=7):
     n = g1 * g2
     rng = np.random.default_rng(seed)
     raw = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
-    out = pallas_global_bf.global_bf_raw_call(
-        jnp.asarray(raw), batch, plan, sign, keys, arrs, cfg,
-        scale=scale, t1_override=t1,
-    )
+    if bf2 is not None:
+        out = pallas_global_bf.global_bf2_raw_call(
+            jnp.asarray(raw), batch, plan, sign, keys, arrs, cfg,
+            scale=scale, t1_override=t1, **bf2,
+        )
+    else:
+        out = pallas_global_bf.global_bf_raw_call(
+            jnp.asarray(raw), batch, plan, sign, keys, arrs, cfg,
+            scale=scale, t1_override=t1,
+        )
     assert out is not None
     got = np.asarray(out).view(np.complex64).reshape(batch, n)
     x = raw.view(np.complex64).reshape(batch, n)
@@ -67,6 +73,26 @@ def test_bf_engine_multi_tile_phase_a():
 def test_bf_engine_deep_slab_dft():
     # A2=8: three in-place DIF layers + bit-reversed output index map
     _run(256, 1024, -1, batch=1)
+
+
+@pytest.mark.parametrize(
+    "g1,g2,sign,scale,st3,ta",
+    [
+        (512, 256, -1, 1.0, 1, 0),   # ladder 2^17 split, tile epilogue
+        (512, 256, -1, 0.5, 0, 0),   # per-slab stores + folded scale
+        (256, 256, -1, 1.0, 1, 1),   # whole-transpose phase A
+        (256, 512, +1, 1.0, 1, 0),   # backward, A2=4
+        (512, 512, -1, 1.0, 1, 0),   # multi-tile nA=2 at t1=256
+    ],
+)
+def test_bf2_engine_parity(g1, g2, sign, scale, st3, ta):
+    """bf2 (relayout-lean) variant matches np.fft across store/transpose
+    modes — same math as bf, restructured data movement only."""
+    _run(g1, g2, sign, scale=scale, bf2={"st3": st3, "ta": ta})
+
+
+def test_bf2_t1_128_multi_tile():
+    _run(512, 512, -1, batch=1, t1=128, bf2={"st3": 1, "ta": 0})
 
 
 def test_bf_engine_via_fastpath_override():

@@ -55,6 +55,104 @@ from .pallas_global import (
 )
 
 
+def _bf_slabs_p(slabs: list, sign: int) -> list:
+    """Mixed-radix (2/3) DIT butterfly over (re, im) slab pairs: input
+    slab index = HIGH digit iA, output = LOW frequency digit kA, natural
+    order (generalizes pallas_global_bf._bf_slabs beyond powers of two)."""
+    from .pallas_global_bf import _cmul_const, _snap
+
+    a = len(slabs)
+    if a == 1:
+        return slabs
+    r = 2 if a % 2 == 0 else 3
+    m = a // r
+    sub = [_bf_slabs_p(slabs[i::r], sign) for i in range(r)]
+    out = [None] * a
+    for q in range(m):
+        parts = [sub[0][q]]
+        for i in range(1, r):
+            ang = sign * 2.0 * math.pi * i * q / a
+            parts.append(
+                _cmul_const(
+                    *sub[i][q], _snap(math.cos(ang)), _snap(math.sin(ang))
+                )
+            )
+        for t in range(r):
+            ar, ai = parts[0]
+            for i in range(1, r):
+                ang = sign * 2.0 * math.pi * i * t / r
+                tr, ti = _cmul_const(
+                    *parts[i], _snap(math.cos(ang)), _snap(math.sin(ang))
+                )
+                ar, ai = ar + tr, ai + ti
+            out[q + t * m] = (ar, ai)
+    return out
+
+
+def lane_perm(f: int) -> list:
+    """inv[p] = frequency held at lane position p by the butterfly lane
+    DFT (:func:`blane_dif`): slab kA = k mod A at lanes [128·kA, ...),
+    lane within slab = kB = k // A (f = A·128)."""
+    a = f // 128
+    return [(p // 128) + a * (p % 128) for p in range(f)]
+
+
+def blane_dif(xr, xi, f: int, sign: int, ur, ui, wkt):
+    """Butterfly-factored lane DFT, natural lanes in -> PERMUTED lanes
+    out (slab-digit-major order, :func:`lane_perm`): radix-A slab
+    butterfly + digit twiddle (A, 128) + ONE Karatsuba 128-matmul —
+    ~(A + 128) cMAC/pt instead of the dense f.  The permutation is
+    consumed by :func:`blane_dit` on the convolution's inverse stage
+    (tables in between are stored permuted), the classic
+    convolution-without-bit-reversal pairing."""
+    from .pallas_fft import kara_matmul_last
+
+    a = f // 128
+    slabs = [
+        (xr[:, j * 128 : (j + 1) * 128], xi[:, j * 128 : (j + 1) * 128])
+        for j in range(a)
+    ]
+    y = _bf_slabs_p(slabs, sign)
+    tw = [
+        xla_fft.complex_mul(
+            yr_, yi_, ur[k : k + 1, :], ui[k : k + 1, :]
+        )
+        for k, (yr_, yi_) in enumerate(y)
+    ]
+    sr = jnp.stack([t[0] for t in tw], axis=-2)  # (rows, A, 128)
+    si = jnp.stack([t[1] for t in tw], axis=-2)
+    zr, zi = kara_matmul_last(sr, si, wkt)
+    rows = xr.shape[0]
+    return zr.reshape(rows, f), zi.reshape(rows, f)
+
+
+def blane_dit(xr, xi, f: int, sign: int, ur, ui, wkt):
+    """Inverse-ordered butterfly lane DFT: PERMUTED lanes in
+    (:func:`lane_perm`) -> natural lanes out.  Per-slab 128-matmul first
+    (the slab's t-digit contraction), then the digit twiddle W_f^{jB·a}
+    (the same (A, 128) table read per input slab a), then an A-point DFT
+    across slabs producing the natural high output digit."""
+    from .pallas_fft import kara_matmul_last
+
+    a = f // 128
+    rows = xr.shape[0]
+    sr = xr.reshape(rows, a, 128)
+    si = xi.reshape(rows, a, 128)
+    zr, zi = kara_matmul_last(sr, si, wkt)  # (rows, A, 128) over t -> jB
+    slabs = [
+        xla_fft.complex_mul(
+            zr[:, k, :], zi[:, k, :], ur[k : k + 1, :], ui[k : k + 1, :]
+        )
+        for k in range(a)
+    ]
+    # plain A-point DFT across slabs (input index a, natural output jA)
+    y = _bf_slabs_p(slabs, sign)
+    return (
+        jnp.concatenate([t[0] for t in y], axis=-1),
+        jnp.concatenate([t[1] for t in y], axis=-1),
+    )
+
+
 def valid_rows(n: int, g2: int) -> int:
     """Rows of the (g1, g2) input view that intersect [0, n), rounded up to
     the sublane granularity (8) — also the valid output-row count of the
@@ -102,6 +200,56 @@ def bluestein_call(
     if None in (pre_k, post_k, fin_k, twb_k, twf_k):
         return None
 
+    # butterfly (bf) mode: factored lane DFTs (~A + 128 cMAC/pt instead
+    # of the dense g) with the fwd digit permutation cancelled by the
+    # paired bwd stage; the in-between tables come pre-permuted
+    # (TwiddleBank.blane_permuted).  Round-5 VERDICT weak #6: the conv
+    # passes were dense-matmul-bound exactly like the pre-eng-7 ladder.
+    from .pallas_global_ilv import ilv_factor
+
+    a1c, a2c = ilv_factor(g1), ilv_factor(g2)
+    blt_k = bank_keys.get(("BLT", n, sign))
+    blp_k = bank_keys.get(("BLP", n, sign))
+    blb_k = bank_keys.get(("BLB", n, sign))
+    from ..utils.logging import _env_flag
+
+    bf = (
+        prec == "x3"
+        and not _env_flag("PORTFFT_BLUESTEIN_DENSE")
+        and bool(a1c)
+        and bool(a2c)
+        and None not in (blt_k, blp_k, blb_k)
+        and all(
+            (k in bank_keys)
+            for k in (
+                ("U", a1c, 128, -1), ("U", a1c, 128, +1),
+                ("U", a2c, 128, -1), ("U", a2c, 128, +1),
+                ("WK", 128, -1), ("WK", 128, +1),
+            )
+        )
+    )
+    if bf:
+        twf_k = blt_k
+        twb_k = blb_k
+        u1f = bank_keys[("U", a1c, 128, -1)]
+        u1b = bank_keys[("U", a1c, 128, +1)]
+        u2f = bank_keys[("U", a2c, 128, -1)]
+        u2b = bank_keys[("U", a2c, 128, +1)]
+        wkf = bank_keys[("WK", 128, -1)]
+        wkb = bank_keys[("WK", 128, +1)]
+        bf1f = [bank[u1f + "r"], bank[u1f + "i"]] + [
+            bank[wkf + str(j)] for j in range(1, 7)
+        ]
+        bf1b = [bank[u1b + "r"], bank[u1b + "i"]] + [
+            bank[wkb + str(j)] for j in range(1, 7)
+        ]
+        bf2f = [bank[u2f + "r"], bank[u2f + "i"]] + [
+            bank[wkf + str(j)] for j in range(1, 7)
+        ]
+        bf2b = [bank[u2b + "r"], bank[u2b + "i"]] + [
+            bank[wkb + str(j)] for j in range(1, 7)
+        ]
+
     # conv directions are fixed (-1 forward, +1 backward) for either user
     # direction; the user sign lives in the chirp tables.
     names_f1, mm_f1 = sub_tables(g1p, -1, bank_keys, mm_ok)
@@ -138,7 +286,8 @@ def bluestein_call(
     out1 = pl.BlockSpec(
         (1, t1, g1), lambda ti, bi: (bi, ti, 0), memory_space=pltpu.VMEM
     )
-    nt1 = len(names_f1)
+    tabs1 = bf1f if bf else [bank[nm] for nm in names_f1]
+    nt1 = len(tabs1)
 
     def p1(xr_ref, xi_ref, bcr, bci, *rest):
         tabs = rest[:nt1]
@@ -152,7 +301,14 @@ def bluestein_call(
             z = jnp.zeros((g1 - nv, t1), dt)
             ar0 = jnp.concatenate([ar0, z], axis=0)
             ai0 = jnp.concatenate([ai0, z], axis=0)
-        ar, ai = _lane_dft(ar0.T, ai0.T, g1p, tabs, prec, fold, mm=mm_f1)
+        if bf:
+            ar, ai = blane_dif(
+                ar0.T, ai0.T, g1, -1, tabs[0], tabs[1], tabs[2:8]
+            )
+        else:
+            ar, ai = _lane_dft(
+                ar0.T, ai0.T, g1p, tabs, prec, fold, mm=mm_f1
+            )
         ar, ai = xla_fft.complex_mul(ar, ai, twr[...], twi[...])
         _pf.dump("bluestein3.p1", ar)
         or_ref[0] = ar
@@ -162,11 +318,11 @@ def bluestein_call(
         p1,
         grid=(g2 // t1, b),
         in_specs=[in1, in1, pre_spec, pre_spec]
-        + [_const(bank[nm]) for nm in names_f1]
+        + [_const(t) for t in tabs1]
         + [twf_spec, twf_spec],
         out_specs=[out1, out1],
         out_shape=[jax.ShapeDtypeStruct((b, g2, g1), dt)] * 2,
-        scratch_shapes=_fold_scratches(g1p, t1, dt),
+        scratch_shapes=[] if bf else _fold_scratches(g1p, t1, dt),
         cost_estimate=pl.CostEstimate(
             flops=8 * b * conv.n * (sum(g1p.factors) or g1),
             bytes_accessed=4 * 2 * b * (nv * g2 + conv.n),
@@ -175,7 +331,7 @@ def bluestein_call(
         interpret=jax.default_backend() != "tpu",
     )(
         x3r, x3i, bank[pre_k + "r"], bank[pre_k + "i"],
-        *[bank[nm] for nm in names_f1],
+        *tabs1,
         bank[twf_k + "r"], bank[twf_k + "i"],
     )
 
@@ -190,7 +346,10 @@ def bluestein_call(
     out2 = pl.BlockSpec(
         (1, t2, g2), lambda ji, bi: (bi, ji, 0), memory_space=pltpu.VMEM
     )
-    ntf, ntb = len(names_f2), len(names_b2)
+    tabs2f = bf2f if bf else [bank[nm] for nm in names_f2]
+    tabs2b = bf2b if bf else [bank[nm] for nm in names_b2]
+    ntf, ntb = len(tabs2f), len(tabs2b)
+    bhat_k = blp_k if bf else post_k
 
     def p2(xr_ref, xi_ref, *rest):
         tabs_f = rest[:ntf]
@@ -198,11 +357,25 @@ def bluestein_call(
         fhr, fhi, tpr, tpi = rest[ntf + ntb : ntf + ntb + 4]
         or_ref, oi_ref = rest[ntf + ntb + 4], rest[ntf + ntb + 5]
         fold = rest[ntf + ntb + 6 :]
-        ar, ai = _lane_dft(
-            xr_ref[0].T, xi_ref[0].T, g2p, tabs_f, prec, fold, mm=mm_f2
-        )  # (t2, g2) = [k1-slice, k2]
+        if bf:
+            ar, ai = blane_dif(
+                xr_ref[0].T, xi_ref[0].T, g2, -1,
+                tabs_f[0], tabs_f[1], tabs_f[2:8],
+            )
+        else:
+            ar, ai = _lane_dft(
+                xr_ref[0].T, xi_ref[0].T, g2p, tabs_f, prec, fold,
+                mm=mm_f2,
+            )  # (t2, g2) = [k1-slice, k2]
         ar, ai = xla_fft.complex_mul(ar, ai, fhr[...], fhi[...])
-        cr, ci = _lane_dft(ar, ai, g2p, tabs_b, prec, fold, mm=mm_b2)
+        if bf:
+            cr, ci = blane_dit(
+                ar, ai, g2, +1, tabs_b[0], tabs_b[1], tabs_b[2:8]
+            )
+        else:
+            cr, ci = _lane_dft(
+                ar, ai, g2p, tabs_b, prec, fold, mm=mm_b2
+            )
         # (t2, g2) = [j2'-slice, k1']
         cr, ci = xla_fft.complex_mul(cr, ci, tpr[...], tpi[...])
         _pf.dump("bluestein3.p2", cr)
@@ -213,12 +386,12 @@ def bluestein_call(
         p2,
         grid=(g1 // t2, b),
         in_specs=[in2, in2]
-        + [_const(bank[nm]) for nm in names_f2]
-        + [_const(bank[nm]) for nm in names_b2]
+        + [_const(t) for t in tabs2f]
+        + [_const(t) for t in tabs2b]
         + [tab2] * 4,
         out_specs=[out2, out2],
         out_shape=[jax.ShapeDtypeStruct((b, g1, g2), dt)] * 2,
-        scratch_shapes=_fold_scratches(g2p, t2, dt),
+        scratch_shapes=[] if bf else _fold_scratches(g2p, t2, dt),
         cost_estimate=pl.CostEstimate(
             flops=2 * 8 * b * conv.n * (sum(g2p.factors) or g2),
             bytes_accessed=4 * 4 * b * conv.n,
@@ -227,9 +400,9 @@ def bluestein_call(
         interpret=jax.default_backend() != "tpu",
     )(
         sr, si,
-        *[bank[nm] for nm in names_f2],
-        *[bank[nm] for nm in names_b2],
-        bank[post_k + "fr"], bank[post_k + "fi"],
+        *tabs2f,
+        *tabs2b,
+        bank[bhat_k + "fr"], bank[bhat_k + "fi"],
         bank[twb_k + "r"], bank[twb_k + "i"],
     )
 
@@ -243,16 +416,23 @@ def bluestein_call(
     out3 = pl.BlockSpec(
         (1, nv, t3), lambda ti, bi: (bi, 0, ti), memory_space=pltpu.VMEM
     )
-    nt3 = len(names_b1)
+    tabs3 = bf1b if bf else [bank[nm] for nm in names_b1]
+    nt3 = len(tabs3)
 
     def p3(xr_ref, xi_ref, *rest):
         tabs = rest[:nt3]
         pfr, pfi = rest[nt3], rest[nt3 + 1]
         or_ref, oi_ref = rest[nt3 + 2], rest[nt3 + 3]
         fold = rest[nt3 + 4 :]
-        cr, ci = _lane_dft(
-            xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold, mm=mm_b1
-        )  # (t3, g1) = [k1'-slice, k2']
+        if bf:
+            cr, ci = blane_dit(
+                xr_ref[0].T, xi_ref[0].T, g1, +1,
+                tabs[0], tabs[1], tabs[2:8],
+            )
+        else:
+            cr, ci = _lane_dft(
+                xr_ref[0].T, xi_ref[0].T, g1p, tabs, prec, fold, mm=mm_b1
+            )  # (t3, g1) = [k1'-slice, k2']
         cr, ci = xla_fft.complex_mul(cr, ci, pfr[...], pfi[...])
         _pf.dump("bluestein3.p3", cr)
         or_ref[0] = cr.T[:nv]
@@ -262,11 +442,11 @@ def bluestein_call(
         p3,
         grid=(g2 // t3, b),
         in_specs=[in3, in3]
-        + [_const(bank[nm]) for nm in names_b1]
+        + [_const(t) for t in tabs3]
         + [fin_spec, fin_spec],
         out_specs=[out3, out3],
         out_shape=[jax.ShapeDtypeStruct((b, nv, g2), dt)] * 2,
-        scratch_shapes=_fold_scratches(g1p, t3, dt),
+        scratch_shapes=[] if bf else _fold_scratches(g1p, t3, dt),
         cost_estimate=pl.CostEstimate(
             flops=8 * b * conv.n * (sum(g1p.factors) or g1),
             bytes_accessed=4 * 2 * b * (conv.n + nv * g2),
@@ -275,7 +455,7 @@ def bluestein_call(
         interpret=jax.default_backend() != "tpu",
     )(
         mr, mi,
-        *[bank[nm] for nm in names_b1],
+        *tabs3,
         bank[fin_k + "r"], bank[fin_k + "i"],
     )
 

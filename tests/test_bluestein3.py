@@ -77,3 +77,61 @@ def test_valid_rows_and_gating():
     assert not pallas_bluestein.supported(
         plan.plans[4096], plan.config
     )
+
+
+def test_bf_mode_keys_and_gating():
+    """65537's 384x384 conv enables the butterfly (bf) lane-DFT mode
+    (permuted in-between tables banked); a conv with a non-128-multiple
+    factor (20011 -> 256x192) stays on the dense path with no bf keys."""
+    p65537 = pfft.Descriptor(
+        lengths=[65537], number_of_transforms=1
+    ).commit(use_pallas=True)
+    assert ("BLT", 65537, -1) in p65537._bank_keys
+    assert ("BLP", 65537, -1) in p65537._bank_keys
+    assert ("BLB", 65537, -1) in p65537._bank_keys
+    p20011 = pfft.Descriptor(
+        lengths=[20011], number_of_transforms=1
+    ).commit(use_pallas=True)
+    assert ("BLT", 20011, -1) not in p20011._bank_keys
+
+
+def test_blane_dif_dit_roundtrip_tables():
+    """blane_dif's lane permutation is exactly lane_perm, and dif->dit
+    with matched signs is f·identity (the conv pairing this mode relies
+    on)."""
+    import jax.numpy as jnp
+
+    from portfft_tpu.ops import pallas_bluestein as pb
+    from portfft_tpu.ops import xla_fft
+
+    f = 384
+    bank = xla_fft.TwiddleBank(np.float32)
+    uf = bank.twiddle_fm(3, 128, -1)
+    ub = bank.twiddle_fm(3, 128, +1)
+    wf = bank.mat_kara(bank.dft(128, -1))
+    wb = bank.mat_kara(bank.dft(128, +1))
+    arrs = bank.device_arrays()
+    rng = np.random.default_rng(0)
+    xr = rng.uniform(-1, 1, (8, f)).astype(np.float32)
+    xi = rng.uniform(-1, 1, (8, f)).astype(np.float32)
+    fr, fi = pb.blane_dif(
+        jnp.asarray(xr), jnp.asarray(xi), f, -1,
+        arrs[uf + "r"], arrs[uf + "i"],
+        [arrs[wf + str(j)] for j in range(1, 7)],
+    )
+    # permuted-lane check against np.fft
+    ref = np.fft.fft(xr + 1j * xi, axis=1)
+    perm = pb.lane_perm(f)
+    got = (np.asarray(fr) + 1j * np.asarray(fi))[:, :]
+    rel = np.linalg.norm(got - ref[:, perm]) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+    # dit(dif(x)) == f·x
+    br, bi = pb.blane_dit(
+        fr, fi, f, +1,
+        arrs[ub + "r"], arrs[ub + "i"],
+        [arrs[wb + str(j)] for j in range(1, 7)],
+    )
+    back = (np.asarray(br) + 1j * np.asarray(bi)) / f
+    orig = xr + 1j * xi
+    rel2 = np.linalg.norm(back - orig) / np.linalg.norm(orig)
+    assert rel2 < 1e-4, rel2

@@ -800,6 +800,14 @@ def build_fn(committed, direction, entry, flat_len: int, overrides=None,
                         t1_override=t1, st3=overrides.get("st3", 1),
                         ta=overrides.get("ta", 0),
                     )
+                if res is None and overrides.get("ov"):
+                    # phase-overlay restructure (A(i) + B(i-1) per step);
+                    # declines at shapes whose dual scratch overflows VMEM
+                    res = pallas_global_bf.global_bf_ov_raw_call(
+                        raw, batch, plan0, sign, keys, bank,
+                        committed.config, committed.matmul_precision, scale,
+                        t1_override=t1,
+                    )
                 if res is None:
                     res = pallas_global_bf.global_bf_raw_call(
                         raw, batch, plan0, sign, keys, bank, committed.config,

@@ -416,6 +416,213 @@ def global_bf2_raw_call(
     return out.reshape(raw.shape[0])
 
 
+def bf_ov_est_bytes(plan: Plan1D, t1: int) -> int:
+    """VMEM estimate for the overlay variant: bf working set + the second
+    (parity-dual) persistent scratch."""
+    return bf_est_bytes(plan, t1) + 8 * plan.n
+
+
+def global_bf_ov_raw_call(
+    raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
+    precision=None, scale: float = 1.0, t1_override: int = 0,
+):
+    """Phase-OVERLAY bf engine (autotuner ``{"eng": 7, "ov": 1}``).
+
+    Same math, tables and layouts as :func:`global_bf_raw_call`; the
+    grid is restructured so phase A of batch ``i`` and phase B of batch
+    ``i-1`` run in the SAME grid step over parity-dual persistent
+    scratch.  Why: the round-5 attribution probe (scripts/probe_attr.py)
+    showed the round-4 engine runs at movement + exposed-compute, not
+    max(movement, compute) — per batch, the input block lands in the
+    phase-A steps and the output blocks leave in the phase-B steps, so
+    the heavy phase-A compute window has no DMA of its own to hide and
+    every batch boundary stalls on a ~1 MB fetch behind a ~1.5 µs
+    compute window.  Overlaying the phases gives every grid step one
+    input tile, one output block, and comparable compute; measured
+    15.7 → 12.9 ms at n=2^17 (scripts/probe_ov.py, docs/ROUND5.md).
+
+    grid (batch+1, max(nA, a2)); the slab DFT folds into phase-B's first
+    substep.  Costs one extra 8n-byte scratch, so the largest ladder
+    shapes may decline (runtime fallback to the base bf engine).
+
+    Reference counterpart (as for bf): the global factor chain,
+    /root/reference/src/portfft/dispatcher/global_dispatcher.hpp:312-412.
+    """
+    prec = _kernel_precision(precision)
+    if prec != "x3":
+        return None
+    g1p, g2p = plan.sub
+    g1, g2 = g1p.n, g2p.n
+    n = plan.n
+    a1, a2 = bf_factor(g1), bf_factor(g2)
+    if not a1 or not a2:
+        return None
+    wk = bank_keys.get(("WK", 128, sign))
+    u1 = bank_keys.get(("U", a1, 128, sign))
+    u2 = bank_keys.get(("U", a2, 128, sign))
+    ga = bank_keys.get(("GA", g1, g2, sign))
+    gb = bank_keys.get(("GB", g1, g2, sign))
+    if None in (wk, u1, u2, ga, gb):
+        return None
+
+    if t1_override and (g2 % t1_override or t1_override % 128):
+        t1_override = 0
+    t1 = t1_override or 0
+    if not t1:
+        for cand in (256, 128):
+            if g2 % cand == 0 and bf_ov_est_bytes(plan, cand) <= 2 * config.vmem_bytes:
+                t1 = cand
+                break
+    if not t1 or bf_ov_est_bytes(plan, t1) > 2 * config.vmem_bytes:
+        return None
+    nA = g2 // t1
+    S = max(nA, a2)
+    nbits = a2.bit_length() - 1
+
+    x3 = raw.reshape(batch, g1, 2 * g2)
+    in_spec = pl.BlockSpec(
+        (1, g1, 2 * t1),
+        lambda bi, s: (
+            jnp.minimum(bi, batch - 1),
+            0,
+            jnp.where(bi < batch, jnp.minimum(s, nA - 1), nA - 1),
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    gb_spec = pl.BlockSpec(
+        (128, t1), lambda bi, s: (0, jnp.minimum(s, nA - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    ga_spec = pl.BlockSpec(
+        (a1, t1), lambda bi, s: (0, jnp.minimum(s, nA - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 128, 2 * g1),
+        lambda bi, s: (
+            jnp.maximum(bi, 1) - 1,
+            0,
+            _bitrev(jnp.minimum(s, a2 - 1), nbits),
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    consts = [
+        bank[wk + str(j)] for j in range(1, 7)
+    ] + [bank[u1 + "r"], bank[u1 + "i"], bank[u2 + "r"], bank[u2 + "i"]]
+    gb_arrays = [bank[ga + "r"], bank[ga + "i"],
+                 bank[gb + "r"], bank[gb + "i"]]
+
+    def kern(x_ref, *rest):
+        wkt = rest[:6]
+        u1r, u1i, u2r, u2i = rest[6:10]
+        gar, gai, gbr, gbi = rest[10:14]
+        o_ref = rest[14]
+        s3, p2r0, p2i0, p2r1, p2i1, s2 = rest[15:21]
+        bi = pl.program_id(0)
+        s = pl.program_id(1)
+        par = bi % 2
+        col = pl.multiple_of(jnp.minimum(s, nA - 1) * t1, t1)
+
+        def phase_a(p2r, p2i):
+            slabs = []
+            for j in range(a1):
+                sl = slice(j * 128, (j + 1) * 128)
+                s3[...] = x_ref[0, sl, :].T
+                slabs.append((s3[0::2, :], s3[1::2, :]))
+            y = _bf_slabs(slabs, sign)
+            tw = [
+                xla_fft.complex_mul(
+                    yr, yi, u1r[k : k + 1, :], u1i[k : k + 1, :]
+                )
+                for k, (yr, yi) in enumerate(y)
+            ]
+            zr, zi = kara_matmul_last(
+                jnp.concatenate([t[0] for t in tw], axis=0),
+                jnp.concatenate([t[1] for t in tw], axis=0),
+                wkt,
+            )
+            gbr_, gbi_ = gbr[...], gbi[...]
+            for k in range(a1):
+                zs_r = zr[k * t1 : (k + 1) * t1].T
+                zs_i = zi[k * t1 : (k + 1) * t1].T
+                zs_r, zs_i = xla_fft.complex_mul(zs_r, zs_i, gbr_, gbi_)
+                zs_r, zs_i = xla_fft.complex_mul(
+                    zs_r, zs_i, gar[k : k + 1, :], gai[k : k + 1, :]
+                )
+                p2r[:, k, pl.ds(col, t1)] = zs_r
+                p2i[:, k, pl.ds(col, t1)] = zs_i
+            _pf.dump("global_bf_ov.p1", zr)
+
+        def phase_b(p2r, p2i):
+            @pl.when(s == 0)
+            def _():
+                _dif_slab_layers(p2r, p2i, a2, sign)
+
+            j2 = jnp.minimum(s, a2 - 1)
+            ka2 = _bitrev(j2, nbits)
+            br = p2r[:, :, pl.ds(j2 * 128, 128)]
+            bi_ = p2i[:, :, pl.ds(j2 * 128, 128)]
+            t2r = u2r[pl.ds(ka2, 1), :].reshape(1, 1, 128)
+            t2i = u2i[pl.ds(ka2, 1), :].reshape(1, 1, 128)
+            br, bi_ = xla_fft.complex_mul(br, bi_, t2r, t2i)
+            cr, ci = kara_matmul_last(br, bi_, wkt)
+            cr = cr.reshape(g1, 128)
+            ci = ci.reshape(g1, 128)
+            if scale != 1.0:
+                cr = cr * scale
+                ci = ci * scale
+            s2[0::2, :] = cr
+            s2[1::2, :] = ci
+            o_ref[0, :, :] = s2[...].T
+            _pf.dump("global_bf_ov.p2", cr)
+
+        @pl.when((bi < batch) & (s < nA) & (par == 0))
+        def _a0():
+            phase_a(p2r0, p2i0)
+
+        @pl.when((bi < batch) & (s < nA) & (par == 1))
+        def _a1():
+            phase_a(p2r1, p2i1)
+
+        @pl.when((bi >= 1) & (s < a2) & (par == 1))
+        def _b0():
+            phase_b(p2r0, p2i0)
+
+        @pl.when((bi >= 1) & (s < a2) & (par == 0))
+        def _b1():
+            phase_b(p2r1, p2i1)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(batch + 1, S),
+        in_specs=[in_spec]
+        + [
+            pl.BlockSpec(
+                t.shape, (lambda *_: (0,) * t.ndim), memory_space=pltpu.VMEM
+            )
+            for t in consts
+        ]
+        + [ga_spec, ga_spec, gb_spec, gb_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, 128, a2 * 2 * g1), raw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * t1, 128), raw.dtype),
+            pltpu.VMEM((128, a1, g2), raw.dtype),
+            pltpu.VMEM((128, a1, g2), raw.dtype),
+            pltpu.VMEM((128, a1, g2), raw.dtype),
+            pltpu.VMEM((128, a1, g2), raw.dtype),
+            pltpu.VMEM((2 * g1, 128), raw.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * batch * n * 256,
+            bytes_accessed=2 * raw.shape[0] * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x3, *consts, *gb_arrays)
+    return out.reshape(raw.shape[0])
+
+
 def global_bf_raw_call(
     raw, batch, plan: Plan1D, sign: int, bank_keys, bank, config,
     precision=None, scale: float = 1.0, t1_override: int = 0,

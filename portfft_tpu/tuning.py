@@ -370,6 +370,14 @@ def _variants_1d(committed, kind: str, n: int) -> list[dict]:
                     and gbf.bf_est_bytes(plan, t1) <= 2 * vmem
                 ):
                     out.append({"eng": 7, "t1": t1})
+                # phase-overlay variant (A(i) + B(i-1) per grid step,
+                # dual scratch): won 15.7 -> 12.9 ms at 2^17 t1=256
+                # (scripts/probe_ov.py, round 5)
+                if (
+                    g2p.n % t1 == 0
+                    and gbf.bf_ov_est_bytes(plan, t1) <= 2 * vmem
+                ):
+                    out.append({"eng": 7, "ov": 1, "t1": t1})
             # bf2: relayout-lean variant (one input transpose, resident
             # factored GB, single-store tile epilogue)
             for t1 in (128, 256, 512):

@@ -24,7 +24,8 @@ def _mk_plan(g1: int, g2: int, cfg: DeviceConfig) -> Plan1D:
     )
 
 
-def _run(g1, g2, sign, batch=2, scale=1.0, t1=0, seed=7, bf2=None):
+def _run(g1, g2, sign, batch=2, scale=1.0, t1=0, seed=7, bf2=None,
+         ov=False):
     cfg = DeviceConfig(vmem_bytes=256 * 2**20)
     plan = _mk_plan(g1, g2, cfg)
     assert pallas_global_bf.global_bf_supported(plan, cfg)
@@ -34,7 +35,12 @@ def _run(g1, g2, sign, batch=2, scale=1.0, t1=0, seed=7, bf2=None):
     n = g1 * g2
     rng = np.random.default_rng(seed)
     raw = rng.uniform(-1, 1, 2 * batch * n).astype(np.float32)
-    if bf2 is not None:
+    if ov:
+        out = pallas_global_bf.global_bf_ov_raw_call(
+            jnp.asarray(raw), batch, plan, sign, keys, arrs, cfg,
+            scale=scale, t1_override=t1,
+        )
+    elif bf2 is not None:
         out = pallas_global_bf.global_bf2_raw_call(
             jnp.asarray(raw), batch, plan, sign, keys, arrs, cfg,
             scale=scale, t1_override=t1, **bf2,
@@ -130,3 +136,32 @@ def test_bf_variants_enumerated():
     entry = plan._raw_fast.get(Direction.FORWARD)
     variants = tuning._variants_for_entry(plan, entry)
     assert any(v.get("eng") == 7 for v in variants)
+
+
+@pytest.mark.parametrize(
+    "g1,g2,sign,scale,t1",
+    [
+        (512, 256, -1, 1.0, 128),   # nA=2 = a2=2, balanced overlay
+        (512, 256, -1, 0.5, 256),   # the measured 2^17 winner shape
+        (256, 512, +1, 1.0, 128),   # backward, a2=4 > nA
+        (128, 256, -1, 1.0, 256),   # degenerate A1=1
+    ],
+)
+def test_bf_ov_engine_parity(g1, g2, sign, scale, t1):
+    """Phase-overlay variant ({"eng": 7, "ov": 1}): phase A of batch i
+    and phase B of batch i-1 share a grid step over parity-dual scratch
+    (probe_ov measured 15.7 -> 12.9 ms at n=2^17)."""
+    _run(g1, g2, sign, batch=3, scale=scale, t1=t1, ov=True)
+
+
+def test_bf_ov_variant_enumerated():
+    from portfft_tpu import tuning
+
+    plan = pfft.Descriptor(
+        lengths=[131072], number_of_transforms=2
+    ).commit(use_pallas=True)
+    entry = plan._raw_fast.get(Direction.FORWARD)
+    variants = tuning._variants_for_entry(plan, entry)
+    assert any(
+        v.get("eng") == 7 and v.get("ov") for v in variants
+    )

@@ -23,7 +23,7 @@ Usage: python scripts/probe_ov.py [n_log2=17]
 
 from __future__ import annotations
 
-import math
+
 import sys
 import time
 

@@ -203,8 +203,12 @@ def bluestein_call(
     # butterfly (bf) mode: factored lane DFTs (~A + 128 cMAC/pt instead
     # of the dense g) with the fwd digit permutation cancelled by the
     # paired bwd stage; the in-between tables come pre-permuted
-    # (TwiddleBank.blane_permuted).  Round-5 VERDICT weak #6: the conv
-    # passes were dense-matmul-bound exactly like the pre-eng-7 ladder.
+    # (TwiddleBank.blane_permuted).  Round-5 VERDICT weak #6 candidate —
+    # but the on-chip A/B (scripts/ab_bluestein.py 2048 bf, 2026-08-21)
+    # measured bf 169.5 ms vs dense 108.1 at 65537x2048: the butterfly's
+    # extra VPU/permute passes serialize with the DMA stream and cost
+    # more than the MXU FLOPs they remove (same lesson as eng-8), so bf
+    # is OPT-IN via PORTFFT_BLUESTEIN_BF, never the default.
     from .pallas_global_ilv import ilv_factor
 
     a1c, a2c = ilv_factor(g1), ilv_factor(g2)
@@ -215,6 +219,7 @@ def bluestein_call(
 
     bf = (
         prec == "x3"
+        and _env_flag("PORTFFT_BLUESTEIN_BF")
         and not _env_flag("PORTFFT_BLUESTEIN_DENSE")
         and bool(a1c)
         and bool(a2c)

@@ -33,6 +33,7 @@ def run(tag, conv_n, dense=False):
     import os
 
     os.environ["PORTFFT_BLUESTEIN_DENSE"] = "1" if dense else "0"
+    os.environ["PORTFFT_BLUESTEIN_BF"] = "0" if dense else "1"
     orig = planner.bluestein_conv_n
     planner.bluestein_conv_n = lambda n, cap=0: conv_n
     try:

@@ -135,3 +135,27 @@ def test_blane_dif_dit_roundtrip_tables():
     orig = xr + 1j * xi
     rel2 = np.linalg.norm(back - orig) / np.linalg.norm(orig)
     assert rel2 < 1e-4, rel2
+
+
+def test_bf_mode_opt_in_parity(monkeypatch):
+    """The butterfly conv mode lost its on-chip A/B (169.5 vs 108.1 ms
+    at 65537x2048, scripts/ab_bluestein.py 2026-08-21) and is OPT-IN via
+    PORTFFT_BLUESTEIN_BF; this keeps its runtime path parity-covered."""
+    monkeypatch.setenv("PORTFFT_BLUESTEIN_BF", "1")
+    n, b = 65537, 2
+    plan = pfft.Descriptor(
+        lengths=[n], number_of_transforms=b
+    ).commit(use_pallas=True)
+    p = plan.plans[n]
+    rng = np.random.default_rng(5)
+    xr = rng.standard_normal((b, n)).astype(np.float32)
+    xi = rng.standard_normal((b, n)).astype(np.float32)
+    res = pallas_bluestein.bluestein_call(
+        jnp.asarray(xr), jnp.asarray(xi), p, -1,
+        plan._bank_keys, plan._bank_arrays, plan.config,
+    )
+    assert res is not None
+    got = np.asarray(res[0]) + 1j * np.asarray(res[1])
+    ref = np.fft.fft(xr + 1j * xi, axis=1)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4

@@ -119,14 +119,17 @@ def make_ceiling_probe():
     import jax.numpy as jnp
 
     x = jnp.arange(192 * 2**20 // 4, dtype=jnp.float32)  # 192 MiB
-    # 8 HBM passes per jitted call: a single 1.4 ms elementwise pass is
-    # dominated by per-call dispatch latency on tunneled runtimes (the
-    # one-pass probe read 77 GB/s while FFT kernels sustained 280 in the
-    # same minute).  Each pass is a PALLAS copy: Pallas calls are opaque
-    # to XLA fusion, so the loop cannot collapse into fewer memory
-    # passes — an unrolled XLA elementwise chain DOES fuse (measured
-    # 1064 "GB/s" from a +1 fori_loop, scripts/probe_dma.py round 5),
-    # which silently inflated the probe.
+    # P / 2P HBM passes per jitted call, statically UNROLLED (a fori_loop
+    # carry pins the loop state and costs an extra copy sweep per
+    # iteration), each pass a PALLAS copy: Pallas calls are opaque to XLA
+    # fusion, so the chain cannot collapse into fewer memory passes — an
+    # unrolled XLA elementwise chain DOES fuse (measured 1064 "GB/s"
+    # from a +1 fori_loop, scripts/probe_dma.py round 5), which silently
+    # inflated the probe.  The rate is the SUBTRACTED (t(2P) - t(P)) / P
+    # device time — dividing the wall time of a single burst leaves the
+    # tunneled dispatch/readback constant in the denominator, which read
+    # 143 GB/s while library kernels sustained 490 in the same window
+    # (BENCH r5 first run, 2026-08-21).
     passes = 8
 
     candidates = []
@@ -152,43 +155,53 @@ def make_ceiling_probe():
                     out_shape=jax.ShapeDtypeStruct((rows, 128), v.dtype),
                 )(v)
 
-            @jax.jit
-            def pallas_copy(v):
-                return jax.lax.fori_loop(
-                    0, passes, lambda i, a: copy_once(a),
-                    v.reshape(rows, 128),
-                )
+            def make_chain(k):
+                @jax.jit
+                def chained(v):
+                    y = v.reshape(rows, 128)
+                    for _ in range(k):
+                        y = copy_once(y)
+                    return y
 
-            return pallas_copy
+                return chained
+
+            return make_chain(passes), make_chain(2 * passes)
 
         # two block sizes: the faster of the two has varied by window
         candidates += [make_copy(8192), make_copy(4096)]
     else:
 
-        @jax.jit
-        def stream(v):
-            return jax.lax.fori_loop(0, passes, lambda i, a: a + 1.0, v)
+        def make_stream(k):
+            @jax.jit
+            def stream(v):
+                return jax.lax.fori_loop(0, k, lambda i, a: a + 1.0, v)
 
-        candidates.append(stream)
+            return stream
+
+        candidates.append((make_stream(passes), make_stream(2 * passes)))
 
     warmed = []
-    for fn in candidates:
+    for fns in candidates:
         try:
-            y = fn(x)
-            _sync(y)
-            warmed.append(fn)
+            for fn in fns:
+                _sync(fn(x))
+            warmed.append(fns)
         except Exception:
             continue
 
     def sample(rounds: int = 1) -> float:
         best = 0.0
-        for fn in warmed:
+        for fn_p, fn_2p in warmed:
             for _ in range(rounds):
                 t0 = time.perf_counter()
-                for _ in range(2):
-                    y = fn(x)
-                _sync(y)
-                t = (time.perf_counter() - t0) / (2 * passes)
+                _sync(fn_p(x))
+                t_p = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                _sync(fn_2p(x))
+                t_2p = time.perf_counter() - t0
+                if t_2p <= t_p:
+                    continue  # noise inverted the burst: discard
+                t = (t_2p - t_p) / passes
                 best = max(best, 2 * x.size * 4 / t / 1e9)
         return best
 

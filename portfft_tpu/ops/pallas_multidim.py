@@ -350,17 +350,26 @@ def md2_supported(
 
 
 def md2_pick_tiles(
-    plan1: Plan1D, plan2: Plan1D, config, slack: float = 1.0
+    plan1: Plan1D, plan2: Plan1D, config, slack: float = 1.0,
+    min_tile: int = 128,
 ):
     """Largest (t1, t2) pair whose COMBINED estimate (persistent planes +
-    larger phase set) fits ``slack``×VMEM, or None.  Searching the pair
+    larger phase set) fits ``slack``×VMEM, or None.  The pair is searched
     jointly — instead of picking each tile against a fixed 3/4 budget and
-    then failing the total — is what lets 1024×1024 fit at slack 1.0
-    (t=64 phase sets ≈ 5.8 MB + 8.4 MB planes; round-4 VERDICT weak #4
-    declined it at t=256)."""
+    then failing the total (round-4 VERDICT weak #4 declined 1024² that
+    way at t=256).
+
+    ``min_tile``: DEFAULT-path floor on the tile caps.  1024×1024 does
+    fit at slack 1.0 with (64, 64), but that config measured 35.7 ms on
+    chip vs 15.0 for the per-axis pipeline it would displace (BENCH r5
+    first run, 2026-08-21) — sub-128 lane tiles starve the matmuls, so
+    un-tuned defaults stay ≥ 128 and tiny tiles are reachable only via
+    the autotuner's device-verified mt1/mt2 overrides."""
     n1, n2 = plan1.n, plan2.n
     vmem = int(slack * config.vmem_bytes)
     for cap1, cap2 in ((256, 128), (128, 128), (128, 64), (64, 64)):
+        if min(cap1, cap2) < min_tile:
+            continue
         t1 = pg_pick(n2, plan1, n1, vmem, cap1)
         t2 = pg_pick(n1, plan2, n2, vmem, cap2)
         if (

@@ -101,7 +101,7 @@ def _sync(arr):
     jax.device_get(arr.ravel()[0:1])
 
 
-def make_ceiling_probe():
+def make_ceiling_probe(peak_gbps: float = 819.0):
     """In-process HBM streaming-ceiling sampler, GB/s (read+write of one
     pass).
 
@@ -190,19 +190,31 @@ def make_ceiling_probe():
             continue
 
     def sample(rounds: int = 1) -> float:
+        # min-filter each burst length SEPARATELY before subtracting: a
+        # tunnel hiccup inflating one t(P) sample makes the per-pair
+        # delta arbitrarily small, and max-of-rates rode that noise to a
+        # physically impossible 1517 GB/s (185% of nominal peak, BENCH r5
+        # second run).  Subtracting the per-length floors is robust, and
+        # anything still above nominal peak is discarded as noise — a
+        # copy cannot outrun the HBM.
         best = 0.0
         for fn_p, fn_2p in warmed:
-            for _ in range(rounds):
+            tp_min = t2p_min = None
+            for _ in range(max(2, rounds + 1)):
                 t0 = time.perf_counter()
                 _sync(fn_p(x))
                 t_p = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 _sync(fn_2p(x))
                 t_2p = time.perf_counter() - t0
-                if t_2p <= t_p:
-                    continue  # noise inverted the burst: discard
-                t = (t_2p - t_p) / passes
-                best = max(best, 2 * x.size * 4 / t / 1e9)
+                tp_min = t_p if tp_min is None else min(tp_min, t_p)
+                t2p_min = t_2p if t2p_min is None else min(t2p_min, t_2p)
+            if t2p_min <= tp_min:
+                continue
+            t = (t2p_min - tp_min) / passes
+            rate = 2 * x.size * 4 / t / 1e9
+            if rate <= peak_gbps:
+                best = max(best, rate)
         return best
 
     return sample
@@ -644,7 +656,7 @@ def main():
     )
 
     try:
-        ceiling_sample = make_ceiling_probe()
+        ceiling_sample = make_ceiling_probe(cfg.hbm_gbps)
         ceiling = ceiling_sample(rounds=2)
         print(
             f"session streaming ceiling (first sample): {ceiling:.1f} GB/s "

@@ -65,15 +65,38 @@ def _perm_tables(h: int):
     )
 
 
+def _perm_mm_l(w, data):
+    """Permutation matmul (perm on the left), x2: J/P/M1/M0 are exactly
+    bf16-representable 0/1 matrices, so the x3 scheme's w_lo term is
+    identically zero — splitting only the DATA operand (two bf16 passes)
+    reproduces the x3 result bit-for-bit at 2/3 the MXU cost (verified
+    rel=0.0 vs x3, scripts/probe_unt.py round 5).  A single bf16 pass is
+    NOT enough: the MXU rounds the data operand (measured 2e-3 rel)."""
+    from .pallas_fft import _mm_f32, _split2
+
+    dh, dl = _split2(data)
+    wb = w.astype(jnp.bfloat16)
+    return _mm_f32(wb, dh) + _mm_f32(wb, dl)
+
+
+def _perm_mm_r(data, w):
+    """Permutation matmul (perm on the right), x2 — see _perm_mm_l."""
+    from .pallas_fft import _mm_f32, _split2
+
+    dh, dl = _split2(data)
+    wb = w.astype(jnp.bfloat16)
+    return _mm_f32(dh, wb) + _mm_f32(dl, wb)
+
+
 def _reverse_planes(pv, jm, pm, m1, m0, bt, hh):
     """(bt·hh, 128) planes -> R[k] = Z[(h−k) mod h], same shape."""
     z3 = pv.reshape(bt, hh, 128)
     z2 = jnp.transpose(z3, (1, 0, 2)).reshape(hh, bt * 128)
-    t1 = _mm(jm[...], z2, "x3").reshape(hh, bt, 128)
-    t2 = _mm(pm[...], z2, "x3").reshape(hh, bt, 128)
+    t1 = _perm_mm_l(jm[...], z2).reshape(hh, bt, 128)
+    t2 = _perm_mm_l(pm[...], z2).reshape(hh, bt, 128)
     t1 = jnp.transpose(t1, (1, 0, 2)).reshape(bt * hh, 128)
     t2 = jnp.transpose(t2, (1, 0, 2)).reshape(bt * hh, 128)
-    return _mm(t1, m1[...], "x3") + _mm(t2, m0[...], "x3")
+    return _perm_mm_r(t1, m1[...]) + _perm_mm_r(t2, m0[...])
 
 
 def _pick_bt(batch: int, h: int, vmem_budget: int) -> int | None:
@@ -146,7 +169,7 @@ def untangle_raw_call(z, batch, n, rtabs, config, scale: float = 1.0):
         # Nyquist bin: X[h] = Re Z[0] − Im Z[0] (imag 0); Z[0] sits at
         # lane 0 of each row's tile 0 (sublane stride hh in the planes)
         z0 = (pr[0::hh, :] - pi[0::hh, :]) * scale  # (bt, 128), lane 0
-        ny = _mm(z0, m0r[...], "x3")  # zero all lanes but 0
+        ny = _perm_mm_r(z0, m0r[...])  # zero all lanes but 0
         o_ref[:, 2 * h : 2 * h + 2] = ny[:, 0:2]
 
     spec_in = pl.BlockSpec(
@@ -220,8 +243,8 @@ def retangle_raw_call(x, batch, n, rtabs, config, scale: float = 1.0):
         ri = _reverse_planes(pi[...], jmr, pmr, m1r, m0r, bt, hh)
         # inject X[h] at k = 0 (tile 0, lane 0 of every row)
         nyq = v[:, 2 * h : 2 * h + 2]  # (bt, 2) = [Xh_r, Xh_i]
-        inj_r = _mm(nyq, err[...], "x3")  # (bt, 128), lane 0 = Xh_r
-        inj_i = _mm(nyq, eri[...], "x3")
+        inj_r = _perm_mm_r(nyq, err[...])  # (bt, 128), lane 0 = Xh_r
+        inj_i = _perm_mm_r(nyq, eri[...])
         kt = jax.lax.broadcasted_iota(jnp.int32, (bt, hh, 128), 1)
         rr = jnp.where(
             kt == 0,

@@ -263,8 +263,13 @@ def _register_real(committed) -> dict:
     if pallas_real._pick_bt(
         batch, n0 // 2, committed.config.vmem_budget
     ) is None:
-        # no viable un/retangle tiling at this batch (bt·h must be a
-        # multiple of 128²): registering would only decline at run time
+        # no viable un/retangle tiling (bt·h must be a 128²-multiple,
+        # bt divisible by 8 per Mosaic's block rule, working set in
+        # VMEM): registering would only decline at run time.  Wide
+        # spectra (h ≥ 2^15) fall here and keep the XLA plane path —
+        # the column-chunked wide untangle measured 5x SLOWER than the
+        # plane path on chip (round-5 negative result, pallas_real
+        # untangle_raw_call comment).
         return out
     h = n0 // 2
     plan_h = committed.plans[h]

@@ -101,13 +101,18 @@ def _reverse_planes(pv, jm, pm, m1, m0, bt, hh):
 
 def _pick_bt(batch: int, h: int, vmem_budget: int) -> int | None:
     """Rows per block: the deinterleave loop needs bt·h ≡ 0 (mod 128²);
-    the working set (~14 arrays of bt·h scalars) must fit VMEM.  Picks the
+    the working set (~14 arrays of bt·h scalars) must fit VMEM; and
+    Mosaic requires block sublane dims divisible by 8 (or equal to the
+    array dim) — bt ∈ {1, 2, 4} at large h compiled to "Slice shape
+    must be aligned to tiling" rejections on chip (round 5), which
+    silently pinned n=131072 REAL to the XLA plane path.  Picks the
     largest viable divisor of ``batch`` up to a 2²¹-scalar block."""
     best = None
     bt = 1
     while bt <= batch:
         if (
             batch % bt == 0
+            and (bt % 8 == 0 or bt == batch)
             and bt * h % (128 * 128) == 0
             and 14 * bt * h * 4 <= vmem_budget
             and bt * h <= 1 << 21
@@ -128,6 +133,13 @@ def untangle_raw_call(z, batch, n, rtabs, config, scale: float = 1.0):
     hh = h // 128
     bt = _pick_bt(batch, h, config.vmem_budget)
     if bt is None:
+        # whole-h blocks stop compiling for wide spectra (Mosaic needs
+        # sublane dims divisible by 8; bt=8 overflows VMEM at h >= 2^15).
+        # The column-chunked untangle_wide_raw_call compiles and is
+        # parity-correct but measured 196-310 ms vs the XLA plane
+        # path's 38 at n=131072 b=1024 (its per-b dynamic-offset VMEM
+        # gathers are pathological) — so wide spectra DECLINE here and
+        # keep the plane path (docs/ROUND5.md round-5 negative result).
         return None
     wr, wi = rtabs
     wr2 = wr.reshape(hh, 128)
@@ -199,6 +211,216 @@ def untangle_raw_call(z, batch, n, rtabs, config, scale: float = 1.0):
         interpret=_interpret_mode(),
     )(z.reshape(batch, 2 * h), wr2, wi2, jm, pm, m1, m0)
     return out.reshape(batch * (2 * h + 2))
+
+
+def wide_bt_ct(n: int, batch: int, config) -> tuple[int, int] | None:
+    """(bt, chunk-tiles) for the column-chunked wide untangle, or None.
+
+    The whole-h kernel's (bt, 2h) IO blocks stop compiling once bt
+    drops below 8 (Mosaic requires block sublane dims divisible by 8)
+    while 14·bt·h scalars overflow VMEM at bt=8 for h ≥ 2^15 — exactly
+    the REAL GLOBAL sizes (n=131072 previously fell back to the XLA
+    plane path at ~38.5 ms device, BENCH r5).  The wide form keeps only
+    the four (bt·h/128, 128) planes persistent (Z and X, re/im) and
+    streams IO in column chunks."""
+    h = n // 2
+    if n % 2 or h % 128 or h < 256:
+        return None
+    hh = h // 128
+    bt = 8
+    if batch % bt:
+        return None
+    if 4 * bt * h * 4 + 2 * hh * 128 * 4 > config.vmem_bytes * 3 // 4:
+        return None
+    # bt·ct must be a 128-multiple (the de/interleave walks 128-row
+    # groups) and 128 % ct == 0 (each group holds whole per-b chunk rows)
+    for ct in (32, 16):
+        if hh % ct == 0:
+            return bt, ct
+    return None
+
+
+def untangle_wide_raw_call(z, batch, n, rtabs, config, scale: float = 1.0):
+    """Column-chunked untangle for wide spectra (see wide_bt_ct).
+
+    grid (batch/bt, 2·nc): the first nc steps deinterleave input chunks
+    into persistent Z planes; each of the last nc steps gathers the
+    chunk's MIRROR tile rows from the planes, reverses them with a
+    small block-diagonal flip matmul (I_bt ⊗ J_ct) + the M1/M0 lane
+    perms, applies the E/O/W combine for that chunk only, and
+    reinterleaves to an ALIGNED (batch, 2h) main output plus a
+    (batch, 128) Nyquist block.  A whole-plane combine step was the
+    first cut and Mosaic-rejected at h=65536 — its SSA working set
+    (eight plane temporaries + (hh, hh) permutation tables) sat on top
+    of the persistent scratch; the per-chunk form keeps only the two
+    Z planes persistent and spreads the combine across the store steps
+    (which also overlaps it with the output DMA).  The caller-side
+    concat to the public ragged (batch·(2h+2),) buffer is an XLA
+    repack — measured cheaper than any in-kernel ragged write
+    (scripts/probe_unt.py round 5)."""
+    h = n // 2
+    pick = wide_bt_ct(n, batch, config)
+    if pick is None:
+        return None
+    bt, ct = pick
+    hh = h // 128
+    nc = hh // ct
+    cw = 128 * ct            # complex per chunk
+    rows_v = bt * hh
+    rows_c = bt * ct         # plane rows per chunk
+    wr, wi = rtabs
+    wr2 = wr.reshape(hh, 128)
+    wi2 = wi.reshape(hh, 128)
+    _, _, m1, m0 = _perm_tables(h)
+    # block-diagonal per-b flip of the ct gathered tile rows
+    jct = np.zeros((ct, ct), np.float32)
+    for t in range(ct):
+        jct[t, ct - 1 - t] = 1.0
+    fl = jnp.asarray(np.kron(np.eye(bt, dtype=np.float32), jct))
+    dt = z.dtype
+    gct = ct + 8             # gathered rows per b (J range + P shift)
+
+    def kernel(x_ref, wrr, wii, m1r, m0r, flr, o_ref, ny_ref,
+               pr, pi, s3, sc, sgr, sgi):
+        s = pl.program_id(1)
+        s2 = s - nc
+
+        @pl.when(s < nc)
+        def _load():
+            x = x_ref[...].reshape(rows_c, 256)
+            for t in range(rows_c // 128):
+                sl = slice(t * 128, (t + 1) * 128)
+                s3[...] = x[sl, :].T
+                sc[sl, :] = s3[0::2, :].T
+                sc[rows_c + t * 128 : rows_c + (t + 1) * 128, :] = (
+                    s3[1::2, :].T
+                )
+            col = pl.multiple_of(s * ct, ct)
+            for b in range(bt):
+                dst = b * hh
+                pr[pl.ds(dst + col, ct), :] = sc[
+                    b * ct : (b + 1) * ct, :
+                ]
+                pi[pl.ds(dst + col, ct), :] = sc[
+                    rows_c + b * ct : rows_c + (b + 1) * ct, :
+                ]
+
+        @pl.when(s >= nc)
+        def _store():
+            col = pl.multiple_of(jnp.maximum(s2, 0) * ct, ct)
+            roff = hh - col - ct  # ascending mirror range start (per b)
+            for b in range(bt):
+                sgr[b, :, :] = pr[pl.ds(b * hh + roff, gct), :]
+                sgi[b, :, :] = pi[pl.ds(b * hh + roff, gct), :]
+                sc[b * ct : (b + 1) * ct, :] = pr[
+                    pl.ds(b * hh + col, ct), :
+                ]
+                sc[rows_c + b * ct : rows_c + (b + 1) * ct, :] = pi[
+                    pl.ds(b * hh + col, ct), :
+                ]
+            smj_r = sgr[:, 0:ct, :].reshape(rows_c, 128)
+            smj_i = sgi[:, 0:ct, :].reshape(rows_c, 128)
+            smp_r = sgr[:, 1 : ct + 1, :].reshape(rows_c, 128)
+            smp_i = sgi[:, 1 : ct + 1, :].reshape(rows_c, 128)
+            # wrap fix: pre-flip P row j = ct-1 maps to tile hh (only
+            # the col == 0 chunk) — the true source is tile 0
+            ri0 = jax.lax.broadcasted_iota(
+                jnp.int32, (rows_c, 128), 0
+            )
+            t0r = jnp.broadcast_to(
+                pr[0:rows_v:hh, :].reshape(bt, 1, 128), (bt, ct, 128)
+            ).reshape(rows_c, 128)
+            t0i = jnp.broadcast_to(
+                pi[0:rows_v:hh, :].reshape(bt, 1, 128), (bt, ct, 128)
+            ).reshape(rows_c, 128)
+            wrap = (ri0 % ct == ct - 1) & (col == 0)
+            smp_r = jnp.where(wrap, t0r, smp_r)
+            smp_i = jnp.where(wrap, t0i, smp_i)
+            # lane perms then the row flip (they commute)
+            pre_r = _perm_mm_r(smj_r, m1r[...]) + _perm_mm_r(
+                smp_r, m0r[...]
+            )
+            pre_i = _perm_mm_r(smj_i, m1r[...]) + _perm_mm_r(
+                smp_i, m0r[...]
+            )
+            rr = _perm_mm_l(flr[...], pre_r)
+            ri = _perm_mm_l(flr[...], pre_i)
+            zr = sc[0:rows_c, :]
+            zi = sc[rows_c : 2 * rows_c, :]
+            er = 0.5 * (zr + rr)
+            ei = 0.5 * (zi - ri)
+            our = 0.5 * (zi + ri)
+            oui = -0.5 * (zr - rr)
+            w_r = jnp.broadcast_to(
+                wrr[pl.ds(col, ct), :].reshape(1, ct, 128),
+                (bt, ct, 128),
+            ).reshape(rows_c, 128)
+            w_i = jnp.broadcast_to(
+                wii[pl.ds(col, ct), :].reshape(1, ct, 128),
+                (bt, ct, 128),
+            ).reshape(rows_c, 128)
+            tr, ti = xla_fft.complex_mul(our, oui, w_r, w_i)
+            xr = (er + tr) * scale
+            xi = (ei + ti) * scale
+            bpg = 128 // ct  # whole per-b chunk rows per 128-row group
+            for t in range(rows_c // 128):
+                sl = slice(t * 128, (t + 1) * 128)
+                s3[0::2, :] = xr[sl, :].T
+                s3[1::2, :] = xi[sl, :].T
+                o_ref[0, t * bpg : (t + 1) * bpg, :] = (
+                    s3[...].T.reshape(bpg, 2 * cw)
+                )
+
+            @pl.when(s2 == 0)
+            def _nyquist():
+                z0 = (
+                    pr[0:rows_v:hh, :] - pi[0:rows_v:hh, :]
+                ) * scale
+                ny_ref[...] = _perm_mm_r(z0, m0r[...])
+
+    in_spec = pl.BlockSpec(
+        (1, bt, 2 * cw),
+        lambda i, s: (0, i, jnp.minimum(s, nc - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    out_main = pl.BlockSpec(
+        (1, bt, 2 * cw),
+        lambda i, s: (0, i, jnp.maximum(s - nc, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_ny = pl.BlockSpec(
+        (bt, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    main, ny = pl.pallas_call(
+        kernel,
+        grid=(batch // bt, 2 * nc),
+        in_specs=[in_spec]
+        + [_const_spec(t) for t in (wr2, wi2, m1, m0, fl)],
+        out_specs=[out_main, out_ny],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, batch, 2 * h), dt),
+            jax.ShapeDtypeStruct((batch, 128), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows_v + 8, 128), dt),
+            pltpu.VMEM((rows_v + 8, 128), dt),
+            pltpu.VMEM((256, 128), dt),
+            pltpu.VMEM((2 * rows_c, 128), dt),
+            pltpu.VMEM((bt, gct, 128), dt),
+            pltpu.VMEM((bt, gct, 128), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * batch * h,
+            bytes_accessed=4 * batch * (4 * h + 2),
+            transcendentals=0,
+        ),
+        interpret=_interpret_mode(),
+    )(z.reshape(1, batch, 2 * h), wr2, wi2, m1, m0, fl)
+    flat = jnp.concatenate(
+        [main[0], ny[:, :2]], axis=1
+    ).reshape(batch * (2 * h + 2))
+    return flat
+
 
 
 def retangle_raw_call(x, batch, n, rtabs, config, scale: float = 1.0):

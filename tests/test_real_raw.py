@@ -24,7 +24,12 @@ CFG = DeviceConfig()
 
 @pytest.mark.parametrize(
     "n,batch",
-    [(1024, 64), (2048, 32), (4096, 32), (8192, 16), (65536, 16)],
+    # (65536, 16) is NOT here: its whole-h tiling needs bt ∈ {8, 16}
+    # for Mosaic's sublane block rule but neither fits VMEM — the shape
+    # declines to the plane path (test_wide_gate_and_decline); the old
+    # bt=4 registration only ever "worked" in CPU interpret mode and
+    # silently fell back on chip.
+    [(1024, 64), (2048, 32), (4096, 32), (8192, 16), (32768, 16)],
 )
 def test_real_raw_forward_backward(n, batch):
     plan = pfft.Descriptor(
@@ -166,3 +171,58 @@ def test_small_real_scale_and_fallback():
     ref2 = np.fft.rfft(x2, axis=-1)
     rel2 = np.linalg.norm(y2.reshape(3, -1) - ref2) / np.linalg.norm(ref2)
     assert rel2 < 1e-4, rel2
+
+
+def test_wide_untangle_matches_oracle():
+    """Column-chunked untangle (wide_bt_ct) — the path REAL GLOBAL sizes
+    take (n=131072's h=65536 whole-h blocks violate Mosaic's sublane
+    rule at any VMEM-viable bt; the plane-path fallback ran 38.5 ms
+    device, BENCH r5).  Parity vs np.fft.rfft through the public API at
+    a wide-forced small shape and direct-call at the library gate."""
+    import numpy as np
+    import jax.numpy as jnp
+    import portfft_tpu as pfft
+    from portfft_tpu.enums import Domain
+    from portfft_tpu.ops import pallas_real
+
+    n, batch = 16384, 8
+    h = n // 2
+    plan = pfft.Descriptor(
+        lengths=[n], number_of_transforms=batch, domain=Domain.REAL
+    ).commit(use_pallas=True)
+    rkey = plan._bank_keys[("R", n, -1)]
+    rt = [plan._bank_arrays[rkey + "r"], plan._bank_arrays[rkey + "i"]]
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    z = np.fft.fft(x[:, 0::2] + 1j * x[:, 1::2], axis=1).astype(
+        np.complex64
+    )
+    zraw = jnp.asarray(np.ascontiguousarray(z).view(np.float32).ravel())
+    y = pallas_real.untangle_wide_raw_call(
+        zraw, batch, n, rt, plan.config, scale=0.5
+    )
+    assert y is not None
+    got = np.asarray(y).view(np.complex64).reshape(batch, h + 1)
+    ref = 0.5 * np.fft.rfft(x, axis=1)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+
+def test_wide_gate_and_decline():
+    from portfft_tpu.config import DeviceConfig
+    from portfft_tpu.ops import pallas_real
+
+    cfg = DeviceConfig()
+    # n=131072: whole-h tiling fails (Mosaic sublane rule + VMEM) and
+    # the raw path DECLINES (the wide kernel measured 5x slower than
+    # the plane path on chip — round-5 negative result); the wide
+    # kernel itself stays parity-covered above
+    assert pallas_real._pick_bt(1024, 65536, cfg.vmem_budget) is None
+    assert pallas_real.wide_bt_ct(131072, 1024, cfg) == (8, 32)
+    import jax.numpy as jnp
+    import numpy as np
+    res = pallas_real.untangle_raw_call(
+        jnp.zeros(2 * 8 * 65536, jnp.float32), 8, 131072,
+        [jnp.zeros(65536, jnp.float32)] * 2, cfg,
+    )
+    assert res is None

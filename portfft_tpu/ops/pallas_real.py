@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import xla_fft
-from .pallas_fft import _const_spec, _interpret_mode, _mm, dump
+from .pallas_fft import _const_spec, _interpret_mode, dump
 
 
 def supported(n: int, batch: int) -> bool:

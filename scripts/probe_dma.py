@@ -43,10 +43,15 @@ def _sync(y):
 
 
 def dev_time_ms(apply_k, iters=8):
-    """Device ms per application via t(2R) - t(R) subtraction."""
+    """Device ms per application via t(2R) - t(R) subtraction.
+
+    Each burst length is min-filtered SEPARATELY before subtracting —
+    per-pair subtraction lets one noise-inflated t(R) sample produce an
+    impossibly small delta that then wins the min (the bench rode that
+    to "1412 GB/s" for a kernel against a 710 GB/s copy ceiling)."""
     _sync(apply_k(iters))
     _sync(apply_k(2 * iters))
-    best = None
+    t1_min = t2_min = None
     for _ in range(3):
         t0 = time.perf_counter()
         _sync(apply_k(iters))
@@ -54,9 +59,11 @@ def dev_time_ms(apply_k, iters=8):
         t0 = time.perf_counter()
         _sync(apply_k(2 * iters))
         t2 = time.perf_counter() - t0
-        d = (t2 - t1) / iters if t2 > t1 else t2 / (2 * iters)
-        best = d if best is None or d < best else best
-    return best * 1e3
+        t1_min = t1 if t1_min is None else min(t1_min, t1)
+        t2_min = t2 if t2_min is None else min(t2_min, t2)
+    if t2_min > t1_min:
+        return (t2_min - t1_min) / iters * 1e3
+    return t2_min / (2 * iters) * 1e3
 
 
 def main():
